@@ -1,0 +1,26 @@
+"""Driver-style parity: every queries() entry vs its DuckDB oracle at sf0.01."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+from wikipedia_wikidata_spark.queries import get_oracle_sql, get_queries
+
+from .conftest import compare_frames
+
+QUERIES = get_queries()
+ORACLES = get_oracle_sql()
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = [k for k in QUERIES if k not in ORACLES]
+    # non-SQL-expressible ops are allowed to miss an oracle; keep the list tiny
+    allowed = {"spans_roundtrip", "multimodal_features", "streaming_sessionize",
+               "checkpoint_lineage"}
+    assert set(missing) <= allowed, f"queries missing oracles: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_DIR)
+    ddf = ddb.execute(ORACLES[name]).fetchdf()
+    compare_frames(sdf, ddf, name)

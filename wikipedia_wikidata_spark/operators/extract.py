@@ -1,0 +1,237 @@
+"""Extract relational views from the interleaved documents table.
+
+Re-expresses the reference's seven ``bin/filter_*.py`` stream filters (P1-P8 in
+SURVEY.md §2.2) as declarative DataFrame expressions over
+``explode(spans)`` — Catalyst pushes the ``kind`` predicates and prunes
+columns; nothing here is per-row Python. The one pandas UDF (``round5``)
+exists for the reference's Python ``round(x, 5)`` half-even semantics
+(bin/filter_wikidata_geo_tags.py:50-51) and is Arrow-vectorized.
+
+Each extractor cites the reference filter it models.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..config import LANGUAGES, SEP
+
+
+@pandas_udf(DoubleType())
+def round5(x: pd.Series) -> pd.Series:
+    """Vectorized half-even round to 5 decimals (numpy); models the
+    reference's Python round() in bin/filter_wikidata_geo_tags.py:50-51."""
+    return pd.Series(np.round(x.to_numpy(dtype="float64"), 5))
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load (generating on first use) the interleaved corpus for an sf dir."""
+    from ..sources.synth import ensure_spans_data
+
+    d = ensure_spans_data(sf_dir)
+    return spark.read.parquet(f"{d}/documents.parquet")
+
+
+def spans_flat(docs: DataFrame) -> DataFrame:
+    """One row per span: (doc_id, language, kind, text, media_ref, offset, f).
+
+    ``language`` is the doc_id namespace prefix (per-language table families of
+    steps/wikipedia_import.sh:22-88 become one column); ``f`` is the
+    \\x1f-split payload field array.
+    """
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.split_part("doc_id", F.lit(":"), F.lit(1)).alias("language"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        F.split("s.text", SEP, 3).alias("f"),
+    )
+
+
+def _clean_title(col):
+    # bin/filter_page.py:33 strips '\r'; empty titles dropped.
+    return F.regexp_replace(col, "\r", "")
+
+
+def page_view(sp: DataFrame) -> DataFrame:
+    """P1: bin/filter_page.py:29-37 — namespace 0, non-empty \\r-stripped title."""
+    v = sp.filter(F.col("kind") == "page").select(
+        "language",
+        F.col("f")[0].cast("int").alias("page_id"),
+        _clean_title(F.col("f")[1]).alias("page_title"),
+        F.col("f")[2].alias("ns"),
+    )
+    return v.filter((F.col("ns") == "0") & (F.length("page_title") > 0)).drop("ns")
+
+
+def linktarget_view(sp: DataFrame) -> DataFrame:
+    """P2: bin/filter_redirect.py reused for linktarget (same shape)."""
+    v = sp.filter(F.col("kind") == "linktarget").select(
+        "language",
+        F.col("f")[0].cast("bigint").alias("lt_id"),
+        F.col("f")[1].alias("ns"),
+        _clean_title(F.col("f")[2]).alias("lt_title"),
+    )
+    return v.filter((F.col("ns") == "0") & (F.length("lt_title") > 0)).drop("ns")
+
+
+def redirect_view(sp: DataFrame) -> DataFrame:
+    """P2: bin/filter_redirect.py:28-36."""
+    v = sp.filter(F.col("kind") == "redirect").select(
+        "language",
+        F.col("f")[0].cast("int").alias("rd_from"),
+        F.col("f")[1].alias("ns"),
+        _clean_title(F.col("f")[2]).alias("rd_title"),
+    )
+    return v.filter((F.col("ns") == "0") & (F.length("rd_title") > 0)).drop("ns")
+
+
+def pagelink_view(sp: DataFrame) -> DataFrame:
+    """Raw pagelinks rows (pre-join): bin/filter_pagelinks.py:32-36 ns filter."""
+    v = sp.filter(F.col("kind") == "pagelink").select(
+        "language",
+        F.col("f")[0].cast("int").alias("pl_from"),
+        F.col("f")[1].alias("ns"),
+        F.col("f")[2].cast("bigint").alias("pl_target_id"),
+    )
+    return v.filter(F.col("ns") == "0").drop("ns")
+
+
+def langlinks_view(sp: DataFrame, languages: list[str] | None = None) -> DataFrame:
+    """P5: bin/filter_langlinks.py:26-40 — language semi-filter, ' '->'_',
+    split-first-2-commas (F8) modeled by the limit-3 split in spans_flat."""
+    languages = languages or LANGUAGES
+    v = sp.filter(F.col("kind") == "langlink").select(
+        "language",
+        F.col("f")[0].cast("int").alias("ll_from"),
+        F.col("f")[1].alias("ll_lang"),
+        F.translate(F.regexp_replace(F.col("f")[2], "\r", ""), " ", "_").alias("ll_title"),
+    )
+    return v.filter(F.col("ll_lang").isin(languages))
+
+
+def wd_page_view(sp: DataFrame) -> DataFrame:
+    """P3: bin/filter_wikidata_page.py:33-41 — ns 0 and title starts with 'Q'."""
+    v = sp.filter(F.col("kind") == "wikidata_page").select(
+        F.col("f")[0].cast("bigint").alias("page_id"),
+        F.col("f")[1].alias("ns"),
+        F.col("f")[2].alias("page_title"),
+    )
+    return v.filter((F.col("ns") == "0") & F.col("page_title").startswith("Q")).drop("ns")
+
+
+def geo_tags_view(sp: DataFrame) -> DataFrame:
+    """P4+F5: bin/filter_wikidata_geo_tags.py:28-53 — earth, primary, not
+    (0,0), in-bounds; round to 5 decimals (half-even, Arrow-vectorized).
+
+    Payload: gt_page_id\\x1fglobe\\x1fprimary\\x1flat\\x1flon.
+    """
+    f5 = F.split(F.col("text"), SEP, 5)
+    v = sp.filter(F.col("kind") == "wikidata_coord").select(
+        f5[0].cast("bigint").alias("gt_page_id"),
+        f5[1].alias("globe"),
+        f5[2].alias("gt_primary"),
+        f5[3].cast("double").alias("lat"),
+        f5[4].cast("double").alias("lon"),
+    )
+    v = v.filter(
+        (F.col("globe") == "earth")
+        & (F.col("gt_primary") == "1")
+        & ~((F.col("lat") == 0.0) & (F.col("lon") == 0.0))
+        & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0)
+        & (F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
+    )
+    return v.select(
+        "gt_page_id",
+        round5(F.col("lat")).alias("gt_lat"),
+        round5(F.col("lon")).alias("gt_lon"),
+    )
+
+
+def sitelinks_view(sp: DataFrame, languages: list[str] | None = None) -> DataFrame:
+    """P6+F3: bin/filter_wikidata_wb_items_per_site.py:36-44 — strips ALL
+    'wiki' substrings from site id (reference quirk), language semi-filter."""
+    languages = languages or LANGUAGES
+    v = sp.filter(F.col("kind") == "sitelink").select(
+        F.col("f")[0].cast("int").alias("ips_item_id"),
+        F.col("f")[1].alias("ips_site_id"),
+        _clean_title(F.col("f")[2]).alias("ips_site_page"),
+    )
+    return v.filter(
+        (F.length("ips_site_page") > 0)
+        & F.regexp_replace("ips_site_id", "wiki", "").isin(languages)
+    )
+
+
+def places_view(sp: DataFrame) -> DataFrame:
+    """P8: steps/wikidata_api_fetch_placetypes.sh:131-134 — Q-rows, dedup."""
+    v = sp.filter(F.col("kind") == "place").select(
+        F.col("f")[0].alias("item"),
+        F.col("f")[1].alias("instance_of"),
+    )
+    return v.filter(F.col("item").startswith("Q")).dropDuplicates()
+
+
+def polygons_view(sp: DataFrame) -> DataFrame:
+    """Target-extension polygons: place_item \\x1f n \\x1f 'lat:lon,lat:lon,...'."""
+    v = sp.filter(F.col("kind") == "place_polygon").select(
+        F.col("f")[0].alias("item"),
+        F.col("f")[1].cast("int").alias("n_vertices"),
+        F.col("f")[2].alias("verts_str"),
+    )
+    vert = F.transform(
+        F.split("verts_str", ","),
+        lambda p: F.struct(
+            F.split_part(p, F.lit(":"), F.lit(1)).cast("double").alias("lat"),
+            F.split_part(p, F.lit(":"), F.lit(2)).cast("double").alias("lon"),
+        ),
+    )
+    return v.select("item", "n_vertices", vert.alias("verts"))
+
+
+def extract_views(docs: DataFrame, languages: list[str] | None = None) -> dict[str, DataFrame]:
+    sp = spans_flat(docs)
+    return {
+        "page": page_view(sp),
+        "linktarget": linktarget_view(sp),
+        "redirect": redirect_view(sp),
+        "pagelink": pagelink_view(sp),
+        "langlinks": langlinks_view(sp, languages),
+        "wd_page": wd_page_view(sp),
+        "geo_tags": geo_tags_view(sp),
+        "sitelinks": sitelinks_view(sp, languages),
+        "places": places_view(sp),
+        "polygons": polygons_view(sp),
+    }
+
+
+def reassemble_spans(docs: DataFrame) -> DataFrame:
+    """Span-sequence invariant (input_hint): explode then re-aggregate; the
+    result must equal the input per doc (order by offset)."""
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    return s.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("s.offset", "s.kind", "s.text", "s.media_ref")
+            )
+        ).alias("ordered")
+    ).select(
+        "doc_id",
+        F.transform(
+            "ordered",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )

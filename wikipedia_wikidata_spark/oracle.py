@@ -1,0 +1,230 @@
+"""DuckDB oracle SQL for every operator — the independent correctness check.
+
+Each function returns a SELF-CONTAINED ANSI-SQL string (CTEs included) that
+DuckDB runs against the SAME parquet bytes Spark reads. Semantics mirror the
+Spark implementations 1:1, including the deterministic tie-breaks documented in
+plans/importance.py. TRY_CAST mirrors Spark's null-on-failure cast.
+
+Float-valued outputs are quantized with floor(x*1e6 + 0.5) *in both engines*
+(same IEEE ops) so cross-engine libm 1-ulp noise cannot break the value hash.
+"""
+
+from __future__ import annotations
+
+from .config import LANGUAGES, PLACE_TYPE_LEVELS
+
+SPANS_SF001 = "/root/repo/data/spans_sf0.01/documents.parquet"
+LEVELS_SF001 = "/root/repo/data/spans_sf0.01/place_type_levels.parquet"
+
+
+def _langs_sql() -> str:
+    return ", ".join(f"'{x}'" for x in LANGUAGES)
+
+
+def _sites_sql() -> str:
+    return ", ".join(f"'{x}wiki'" for x in LANGUAGES)
+
+
+def base_ctes(docs_path: str = SPANS_SF001, levels_path: str = LEVELS_SF001) -> str:
+    langs = _langs_sql()
+    sites = _sites_sql()
+    return f"""
+spans AS (
+  SELECT doc_id,
+         split_part(doc_id, ':', 1) AS language,
+         s.kind AS kind, s.text AS text, s.media_ref AS media_ref, s."offset" AS off,
+         split_part(s.text, chr(31), 1) AS f1,
+         split_part(s.text, chr(31), 2) AS f2,
+         split_part(s.text, chr(31), 3) AS f3,
+         split_part(s.text, chr(31), 4) AS f4,
+         split_part(s.text, chr(31), 5) AS f5
+  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{docs_path}'))
+),
+page AS (
+  SELECT language, TRY_CAST(f1 AS INTEGER) AS page_id,
+         replace(f2, chr(13), '') AS page_title
+  FROM spans
+  WHERE kind = 'page' AND f3 = '0' AND length(replace(f2, chr(13), '')) > 0
+),
+linktarget AS (
+  SELECT language, TRY_CAST(f1 AS BIGINT) AS lt_id,
+         replace(f3, chr(13), '') AS lt_title
+  FROM spans
+  WHERE kind = 'linktarget' AND f2 = '0' AND length(replace(f3, chr(13), '')) > 0
+),
+redirect AS (
+  SELECT language, TRY_CAST(f1 AS INTEGER) AS rd_from,
+         replace(f3, chr(13), '') AS rd_title
+  FROM spans
+  WHERE kind = 'redirect' AND f2 = '0' AND length(replace(f3, chr(13), '')) > 0
+),
+pagelink AS (
+  SELECT language, TRY_CAST(f1 AS INTEGER) AS pl_from,
+         TRY_CAST(f3 AS BIGINT) AS pl_target_id
+  FROM spans WHERE kind = 'pagelink' AND f2 = '0'
+),
+langlinks AS (
+  SELECT language, TRY_CAST(f1 AS INTEGER) AS ll_from, f2 AS ll_lang,
+         replace(replace(f3, chr(13), ''), ' ', '_') AS ll_title
+  FROM spans WHERE kind = 'langlink' AND f2 IN ({langs})
+),
+wd_page AS (
+  SELECT TRY_CAST(f1 AS BIGINT) AS page_id, f3 AS page_title
+  FROM spans WHERE kind = 'wikidata_page' AND f2 = '0' AND f3 LIKE 'Q%'
+),
+geo_tags AS (
+  SELECT TRY_CAST(f1 AS BIGINT) AS gt_page_id,
+         round(TRY_CAST(f4 AS DOUBLE), 5) AS gt_lat,
+         round(TRY_CAST(f5 AS DOUBLE), 5) AS gt_lon
+  FROM spans
+  WHERE kind = 'wikidata_coord' AND f2 = 'earth' AND f3 = '1'
+    AND NOT (TRY_CAST(f4 AS DOUBLE) = 0 AND TRY_CAST(f5 AS DOUBLE) = 0)
+    AND TRY_CAST(f4 AS DOUBLE) BETWEEN -90 AND 90
+    AND TRY_CAST(f5 AS DOUBLE) BETWEEN -180 AND 180
+),
+sitelinks AS (
+  SELECT TRY_CAST(f1 AS INTEGER) AS ips_item_id, f2 AS ips_site_id,
+         replace(f3, chr(13), '') AS ips_site_page
+  FROM spans
+  WHERE kind = 'sitelink' AND length(replace(f3, chr(13), '')) > 0
+    AND replace(f2, 'wiki', '') IN ({langs})
+),
+places0 AS (
+  SELECT DISTINCT f1 AS item, f2 AS instance_of
+  FROM spans WHERE kind = 'place' AND f1 LIKE 'Q%'
+),
+levels AS (SELECT place_type, CAST(level AS INTEGER) AS level FROM read_parquet('{levels_path}')),
+plc AS (
+  SELECT p.language AS language, lt.lt_title AS pl_title,
+         CAST(count(*) AS BIGINT) AS langcount
+  FROM pagelink p
+  JOIN linktarget lt ON p.language = lt.language AND p.pl_target_id = lt.lt_id
+  GROUP BY 1, 2
+),
+oc AS (
+  SELECT ll.language AS language, pg.page_title AS title,
+         CAST(SUM(o.langcount) AS BIGINT) AS othercount
+  FROM langlinks ll
+  JOIN page pg ON ll.language = pg.language AND ll.ll_from = pg.page_id
+  JOIN plc o ON ll.ll_lang = o.language AND ll.ll_title = o.pl_title
+  GROUP BY 1, 2
+),
+article_full AS (
+  SELECT plc.language, plc.pl_title AS title, plc.langcount,
+         COALESCE(oc.othercount, 0) AS othercount,
+         plc.langcount + COALESCE(oc.othercount, 0) AS totalcount
+  FROM plc
+  LEFT JOIN oc ON plc.language = oc.language AND plc.pl_title = oc.title
+),
+geo_earth AS (
+  SELECT DISTINCT g.gt_page_id, g.gt_lat, g.gt_lon, p.page_title
+  FROM geo_tags g LEFT JOIN wd_page p ON g.gt_page_id = p.page_id
+),
+places_lvl AS (
+  SELECT p.item, p.instance_of, l.level AS ont_level
+  FROM places0 p LEFT JOIN levels l ON p.instance_of = l.place_type
+),
+wikidata_places0 AS (
+  SELECT item, instance_of, ont_level FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY item ORDER BY ont_level DESC NULLS LAST, instance_of) AS rn
+    FROM places_lvl) WHERE rn = 1
+),
+geo_pick AS (
+  SELECT page_title, gt_lat, gt_lon FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY page_title ORDER BY gt_lat, gt_lon, gt_page_id) AS rn
+    FROM geo_earth WHERE page_title IS NOT NULL) WHERE rn = 1
+),
+wikidata_places AS (
+  SELECT w.item, w.instance_of, w.ont_level, g.gt_lat AS lat, g.gt_lon AS lon
+  FROM wikidata_places0 w LEFT JOIN geo_pick g ON w.item = g.page_title
+),
+wikidata_pages AS (
+  SELECT w.item, w.instance_of, w.lat, w.lon,
+         replace(s.ips_site_page, ' ', '_') AS wp_page_title,
+         left(s.ips_site_id, length(s.ips_site_id) - 4) AS language
+  FROM wikidata_places w
+  JOIN sitelinks s ON TRY_CAST(ltrim(w.item, 'Q') AS INTEGER) = s.ips_item_id
+  WHERE s.ips_site_id IN ({sites})
+),
+wp_pick AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY language, wp_page_title ORDER BY item, instance_of) AS rn
+    FROM wikidata_pages) WHERE rn = 1
+),
+af2 AS (
+  SELECT a.language, a.title, a.langcount, a.othercount, a.totalcount,
+         w.lat, w.lon, w.item AS wd_page_title, w.instance_of
+  FROM article_full a
+  LEFT JOIN wp_pick w ON a.language = w.language AND a.title = w.wp_page_title
+),
+mx AS (
+  SELECT MAX(totalcount) AS max_total FROM af2 WHERE wd_page_title IS NOT NULL
+),
+scored AS (
+  SELECT af2.*,
+         GREATEST(log(totalcount) / log(mx.max_total), 0.0000000001) AS importance
+  FROM af2, mx
+),
+article AS (
+  SELECT language, title, importance, wd_page_title
+  FROM scored WHERE wd_page_title IS NOT NULL AND importance != 0
+),
+redirect_full AS (
+  SELECT r.language, p.page_title AS from_title, r.rd_title AS to_title
+  FROM redirect r JOIN page p ON r.language = p.language AND r.rd_from = p.page_id
+),
+from_redirects AS (
+  SELECT r.language, 'r' AS type, r.from_title AS title,
+         a.importance, a.wd_page_title AS wikidata_id
+  FROM redirect_full r
+  JOIN article a ON a.language = r.language AND a.title = r.to_title
+),
+articles_out AS (
+  SELECT language, 'a' AS type, title, importance, wd_page_title AS wikidata_id
+  FROM article
+),
+wmi AS (
+  SELECT * FROM articles_out
+  UNION ALL
+  SELECT f.* FROM from_redirects f
+  ANTI JOIN articles_out a ON f.language = a.language AND f.title = a.title
+)
+"""
+
+
+def q(final_select: str, docs_path: str = SPANS_SF001) -> str:
+    return "WITH " + base_ctes(docs_path) + "\n" + final_select
+
+
+E6 = "CAST(floor(importance * 1000000.0 + 0.5) AS BIGINT)"
+
+ORACLES: dict[str, str] = {
+    "extract_page": q("SELECT language, page_id, page_title FROM page"),
+    "extract_linktarget": q("SELECT language, lt_id, lt_title FROM linktarget"),
+    "extract_redirect": q("SELECT language, rd_from, rd_title FROM redirect"),
+    "extract_pagelink": q("SELECT language, pl_from, pl_target_id FROM pagelink"),
+    "extract_langlinks": q("SELECT language, ll_from, ll_lang, ll_title FROM langlinks"),
+    "extract_wd_page": q("SELECT page_id, page_title FROM wd_page"),
+    "extract_geo_tags": q("SELECT gt_page_id, gt_lat, gt_lon FROM geo_tags"),
+    "extract_sitelinks": q("SELECT ips_item_id, ips_site_id, ips_site_page FROM sitelinks"),
+    "extract_places": q("SELECT item, instance_of FROM places0"),
+    "pagelink_counts": q("SELECT language, pl_title, langcount FROM plc"),
+    "othercounts": q("SELECT language, title, othercount FROM oc"),
+    "article_full": q("SELECT language, title, langcount, othercount, totalcount FROM article_full"),
+    "geo_earth_wikidata": q("SELECT gt_page_id, gt_lat, gt_lon, page_title FROM geo_earth"),
+    "wikidata_places": q("SELECT item, instance_of, ont_level, lat, lon FROM wikidata_places"),
+    "wikidata_pages": q("SELECT item, instance_of, lat, lon, wp_page_title, language FROM wikidata_pages"),
+    "top_languages": q(
+        "SELECT language, CAST(count(*) AS BIGINT) AS size FROM wmi GROUP BY language"
+    ),
+    "importance_pipeline": q(
+        f"SELECT language, type, title, {E6} AS importance_e6, wikidata_id FROM wmi"
+    ),
+}
+
+
+def sanity_check_levels() -> None:
+    assert len(PLACE_TYPE_LEVELS) >= 5

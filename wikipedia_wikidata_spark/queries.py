@@ -1,0 +1,146 @@
+"""Registry of (name -> Spark callable) + (name -> DuckDB oracle SQL).
+
+The driver contract (__spark_entry__.py) re-exports these. Every operator from
+SURVEY.md §2 lands here as it is implemented; column names/aliases match the
+oracle SQL exactly (the driver's compare is order-insensitive but name/schema
+sensitive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle
+from .config import LANGUAGES, spans_dir_for
+from .operators.extract import extract_views, load_documents
+from .plans import importance as imp
+
+
+def _views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return extract_views(load_documents(spark, sf_dir), LANGUAGES)
+
+
+def _levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{spans_dir_for(sf_dir)}/place_type_levels.parquet")
+
+
+# ---------------------------------------------------------------- extraction
+
+def q_extract_page(spark, sf_dir):
+    return _views(spark, sf_dir)["page"]
+
+
+def q_extract_linktarget(spark, sf_dir):
+    return _views(spark, sf_dir)["linktarget"]
+
+
+def q_extract_redirect(spark, sf_dir):
+    return _views(spark, sf_dir)["redirect"]
+
+
+def q_extract_pagelink(spark, sf_dir):
+    return _views(spark, sf_dir)["pagelink"]
+
+
+def q_extract_langlinks(spark, sf_dir):
+    return _views(spark, sf_dir)["langlinks"]
+
+
+def q_extract_wd_page(spark, sf_dir):
+    return _views(spark, sf_dir)["wd_page"]
+
+
+def q_extract_geo_tags(spark, sf_dir):
+    return _views(spark, sf_dir)["geo_tags"]
+
+
+def q_extract_sitelinks(spark, sf_dir):
+    return _views(spark, sf_dir)["sitelinks"]
+
+
+def q_extract_places(spark, sf_dir):
+    return _views(spark, sf_dir)["places"]
+
+
+# ------------------------------------------------------------- importance
+
+def q_pagelink_counts(spark, sf_dir):
+    return imp.pagelink_counts(_views(spark, sf_dir))
+
+
+def q_othercounts(spark, sf_dir):
+    v = _views(spark, sf_dir)
+    return imp.othercounts(v, imp.pagelink_counts(v))
+
+
+def q_article_full(spark, sf_dir):
+    v = _views(spark, sf_dir)
+    plc = imp.pagelink_counts(v)
+    return imp.article_full(plc, imp.othercounts(v, plc))
+
+
+def q_geo_earth_wikidata(spark, sf_dir):
+    return imp.geo_earth_wikidata(_views(spark, sf_dir))
+
+
+def q_wikidata_places(spark, sf_dir):
+    v = _views(spark, sf_dir)
+    return imp.wikidata_places(v, _levels(spark, sf_dir), imp.geo_earth_wikidata(v))
+
+
+def q_wikidata_pages(spark, sf_dir):
+    v = _views(spark, sf_dir)
+    places = imp.wikidata_places(v, _levels(spark, sf_dir), imp.geo_earth_wikidata(v))
+    return imp.wikidata_pages(places, v["sitelinks"], LANGUAGES)
+
+
+def q_top_languages(spark, sf_dir):
+    wmi = imp.run_importance(spark, sf_dir)
+    return wmi.groupBy("language").agg(F.count(F.lit(1)).alias("size"))
+
+
+def q_importance_pipeline(spark, sf_dir):
+    wmi = imp.run_importance(spark, sf_dir)
+    return wmi.select(
+        "language",
+        "type",
+        "title",
+        F.floor(F.col("importance") * 1000000.0 + 0.5).cast("bigint").alias("importance_e6"),
+        "wikidata_id",
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_page": q_extract_page,
+    "extract_linktarget": q_extract_linktarget,
+    "extract_redirect": q_extract_redirect,
+    "extract_pagelink": q_extract_pagelink,
+    "extract_langlinks": q_extract_langlinks,
+    "extract_wd_page": q_extract_wd_page,
+    "extract_geo_tags": q_extract_geo_tags,
+    "extract_sitelinks": q_extract_sitelinks,
+    "extract_places": q_extract_places,
+    "pagelink_counts": q_pagelink_counts,
+    "othercounts": q_othercounts,
+    "article_full": q_article_full,
+    "geo_earth_wikidata": q_geo_earth_wikidata,
+    "wikidata_places": q_wikidata_places,
+    "wikidata_pages": q_wikidata_pages,
+    "top_languages": q_top_languages,
+    "importance_pipeline": q_importance_pipeline,
+}
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    # Oracle SQL reads the sf0.01 corpus parquet directly; make sure it exists.
+    from .sources.synth import ensure_spans_data
+
+    ensure_spans_data(0.01)
+    return {k: v for k, v in oracle.ORACLES.items() if k in QUERIES}
