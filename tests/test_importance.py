@@ -1,0 +1,45 @@
+"""End-to-end golden: Spark pipeline vs the pure-Python reference oracle
+(tests/ref_oracle.py) on the sf0.001 corpus, plus the README invariants."""
+
+import math
+
+from wikipedia_wikidata_spark.plans.importance import (
+    run_importance,
+    run_importance_sorted,
+)
+from wikipedia_wikidata_spark.sources.synth import synth_facts
+
+from .conftest import SF_DIR_SMALL
+from .ref_oracle import reference_importance
+
+
+def test_pipeline_matches_python_reference_oracle(spark):
+    got = {
+        (r.language, r.type, r.title): (r.importance, r.wikidata_id)
+        for r in run_importance(spark, SF_DIR_SMALL).collect()
+    }
+    exp = reference_importance(synth_facts(0.001))
+    assert set(got) == set(exp), (
+        f"key diff: extra={sorted(set(got) - set(exp))[:5]} "
+        f"missing={sorted(set(exp) - set(got))[:5]}"
+    )
+    for k, (imp, wid) in exp.items():
+        gimp, gwid = got[k]
+        assert gwid == wid, (k, gwid, wid)
+        assert math.isclose(gimp, imp, rel_tol=1e-12), (k, gimp, imp)
+
+
+def test_invariants_and_sink_order(spark):
+    rows = run_importance_sorted(spark, SF_DIR_SMALL).collect()
+    assert len(rows) > 0
+    # README.md:65 — (language, title) unique
+    keys = [(r.language, r.title) for r in rows]
+    assert len(keys) == len(set(keys))
+    # README.md:71 — importance in [1e-10, 1], never 0
+    assert all(1e-10 <= r.importance <= 1.0 for r in rows)
+    # steps/output.sh:118-123 — ORDER BY language-size DESC, type, title
+    from collections import Counter
+
+    sizes = Counter(r.language for r in rows)
+    sort_key = [(-sizes[r.language], r.type, r.title) for r in rows]
+    assert sort_key == sorted(sort_key)
