@@ -1,0 +1,118 @@
+"""Spatial operators vs independent numpy brute force (third check beyond the
+DuckDB oracle), plus the span-sequence invariant and cell-codec properties."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from wikipedia_wikidata_spark.config import CELL_RES_BITS
+from wikipedia_wikidata_spark.functions.cells import cell_id, cell_xy, morton
+from wikipedia_wikidata_spark.operators.extract import load_documents, extract_views
+from wikipedia_wikidata_spark.operators.spatial import knn_nearest, pip_join
+from wikipedia_wikidata_spark.plans.importance import build_scored, entity_points
+
+from .conftest import SF_DIR_SMALL
+
+
+def _ray_cast_np(vy, vx, py, px):
+    inside = False
+    n = len(vy)
+    for i in range(n):
+        j = (i + 1) % n
+        if (vy[i] > py) != (vy[j] > py):
+            xint = (vx[j] - vx[i]) * (py - vy[i]) / (vy[j] - vy[i]) + vx[i]
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def test_pip_matches_numpy_brute_force(spark):
+    ep = entity_points(spark, SF_DIR_SMALL).select("language", "title", "lat", "lon")
+    polys = extract_views(load_documents(spark, SF_DIR_SMALL))["polygons"]
+    got = {
+        (r.language, r.title, r.item)
+        for r in pip_join(ep, polys.select("item", "verts"), res=5)
+        .select("language", "title", "item")
+        .collect()
+    }
+    pts = ep.collect()
+    pls = polys.select("item", "verts").collect()
+    exp = set()
+    for p in pts:
+        for g in pls:
+            vy = [v.lat for v in g.verts]
+            vx = [v.lon for v in g.verts]
+            if _ray_cast_np(vy, vx, p.lat, p.lon):
+                exp.add((p.language, p.title, g.item))
+    assert got == exp
+    assert len(exp) > 0, "synthetic data must exercise PIP hits"
+
+
+def test_knn_matches_numpy_brute_force(spark):
+    sc, v = build_scored(spark, SF_DIR_SMALL)
+    ep = sc.filter(
+        F.col("wd_page_title").isNotNull() & F.col("lat").isNotNull()
+    ).select("language", "title", "lat", "lon")
+    places = v["wikidata_places"].filter(F.col("lat").isNotNull()).select(
+        "item", "lat", "lon"
+    )
+    got = {
+        (r.language, r.title): (r.nearest_item, r.dist2)
+        for r in knn_nearest(ep, places).collect()
+    }
+    pts = ep.collect()
+    pls = places.collect()
+    assert len(pls) > 3
+    for p in pts:
+        cands = sorted(
+            ((p.lat - g.lat) ** 2 + (p.lon - g.lon) ** 2, g.item) for g in pls
+        )
+        d2, item = cands[0]
+        gi, gd = got[(p.language, p.title)]
+        assert gi == item, ((p.language, p.title), gi, item)
+        assert abs(gd - d2) < 1e-12
+    assert len(got) == len(pts), "every point must be assigned exactly once"
+
+
+def test_cell_codec_properties():
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-89.99, 89.99, 20000)
+    lon = rng.uniform(-179.99, 179.99, 20000)
+    for res, bits in CELL_RES_BITS.items():
+        cid = cell_id(lat, lon, res)
+        x, y = cell_xy(lat, lon, bits)
+        # pack/unpack roundtrip
+        assert ((cid >> 58) == res).all()
+        assert (((cid >> 29) & ((1 << 29) - 1)) == x).all()
+        assert ((cid & ((1 << 29) - 1)) == y).all()
+        # same point, finer res -> child cell within parent
+        if res > 5:
+            pb = CELL_RES_BITS[res - 1]
+            px, py = cell_xy(lat, lon, pb)
+            assert ((x >> (bits - pb)) == px).all()
+            assert ((y >> (bits - pb)) == py).all()
+    m = morton(lat, lon)
+    x, y = cell_xy(lat, lon, 16)
+    # morton decodes back
+    def unpart(v):
+        v = v & 0x55555555
+        v = (v | (v >> 1)) & 0x33333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF
+        return v
+    assert (unpart(m) == x).all()
+    assert (unpart(m >> 1) == y).all()
+
+
+def test_span_sequence_invariant(spark):
+    """input_hint: after transformation, per-doc (kind,text,media_ref,offset)
+    sequence must equal the input exactly."""
+    from wikipedia_wikidata_spark.operators.extract import reassemble_spans
+
+    docs = load_documents(spark, SF_DIR_SMALL)
+    re = reassemble_spans(docs)
+    a = docs.select("doc_id", F.col("spans").alias("orig"))
+    diff = a.join(re, "doc_id").filter(F.col("orig") != F.col("spans"))
+    assert diff.count() == 0
+    assert re.count() == docs.count()

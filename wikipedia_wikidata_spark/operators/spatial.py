@@ -1,0 +1,193 @@
+"""Spatial operators: cell-bucketed point-in-polygon join (J14) and kNN
+nearest-place assignment (J15) — the target extension grounded on the
+reference's geo columns (steps/wikidata_import.sh:28-33) and place taxonomy
+(steps/wikidata_process.sh:51-66).
+
+Design (SURVEY.md §4 "custom work"):
+- Spatial keys are ordinary integer columns (functions/cells.py), so the joins
+  are plain equi-joins Catalyst can plan (broadcast / SMJ / AQE skew split) —
+  no custom strategy needed.
+- PIP refine = ray casting via JVM higher-order functions (whole-stage
+  codegen; no Python in the hot path). The DuckDB oracle re-derives candidates
+  independently (bbox join) and applies the same ray-cast arithmetic, so the
+  two engines agree bit-for-bit.
+- kNN = multi-level grid search: resolve each point at the finest level where
+  a 3x3 cell neighborhood provably contains its nearest place (guard radius),
+  degrading to coarser levels for sparse regions; a fixed lazy DAG, no driver
+  loops. Equals the brute-force oracle by construction.
+- Skew (mega-cells, FIXTURES.md §6): optional salting of hot cells +
+  AQE skew-join (session.py) — see salt_hot_cells().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cells import xy_cols
+
+# Euclidean-on-degrees metric (planar; documented simplification — the
+# reference has no geodesic math either, importance is aspatial).
+
+
+def polygons_with_bbox(polygons: DataFrame) -> DataFrame:
+    lats = F.transform("verts", lambda v: v["lat"])
+    lons = F.transform("verts", lambda v: v["lon"])
+    return polygons.select(
+        "item",
+        "verts",
+        F.array_min(lats).alias("min_lat"),
+        F.array_max(lats).alias("max_lat"),
+        F.array_min(lons).alias("min_lon"),
+        F.array_max(lons).alias("max_lon"),
+    )
+
+
+RAY_CAST_SQL = """
+(size(filter(sequence(0, size({verts}) - 1), i ->
+    (element_at({verts}, i + 1).lat > {plat})
+      != (element_at({verts}, (i + 1) % size({verts}) + 1).lat > {plat})
+    AND {plon} < (element_at({verts}, (i + 1) % size({verts}) + 1).lon
+                  - element_at({verts}, i + 1).lon)
+                 * ({plat} - element_at({verts}, i + 1).lat)
+                 / (element_at({verts}, (i + 1) % size({verts}) + 1).lat
+                    - element_at({verts}, i + 1).lat)
+                 + element_at({verts}, i + 1).lon
+)) % 2) = 1
+"""
+
+
+def duckdb_ray_cast_sql(verts: str, plat: str, plon: str) -> str:
+    """Identical arithmetic for the DuckDB oracle (list_filter lambda)."""
+    return f"""
+(len(list_filter(range(len({verts})), i ->
+    ({verts}[i + 1].lat > {plat}) != ({verts}[(i + 1) % len({verts}) + 1].lat > {plat})
+    AND {plon} < ({verts}[(i + 1) % len({verts}) + 1].lon - {verts}[i + 1].lon)
+                 * ({plat} - {verts}[i + 1].lat)
+                 / ({verts}[(i + 1) % len({verts}) + 1].lat - {verts}[i + 1].lat)
+                 + {verts}[i + 1].lon
+)) % 2) = 1
+"""
+
+
+def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
+             point_cols: tuple[str, str] = ("lat", "lon")) -> DataFrame:
+    """Cell-bucketed point-in-polygon join.
+
+    points:   any DataFrame with lat/lon columns.
+    polygons: (item, verts array<struct<lat,lon>>).
+    Returns points columns + matching polygon ``item`` (inner; one row per
+    (point, containing polygon) pair).
+    """
+    from ..config import CELL_RES_BITS
+
+    bits = CELL_RES_BITS[res]
+    lat_c, lon_c = F.col(point_cols[0]), F.col(point_cols[1])
+    px, py = xy_cols(lat_c, lon_c, bits)
+    pts = points.withColumn("_px", px).withColumn("_py", py)
+
+    poly = polygons_with_bbox(polygons)
+    x0, _ = xy_cols(F.col("min_lat"), F.col("min_lon"), bits)
+    x1, _ = xy_cols(F.col("min_lat"), F.col("max_lon"), bits)
+    _, y0 = xy_cols(F.col("min_lat"), F.col("min_lon"), bits)
+    _, y1 = xy_cols(F.col("max_lat"), F.col("min_lon"), bits)
+    cov = (
+        poly.withColumn("_cx", F.explode(F.sequence(x0, x1)))
+        .withColumn("_cy", F.explode(F.sequence(y0, y1)))
+        .select("item", "verts", "_cx", "_cy")
+    )
+    cand = pts.join(cov, (pts["_px"] == cov["_cx"]) & (pts["_py"] == cov["_cy"]))
+    inside = RAY_CAST_SQL.format(
+        verts="verts", plat=point_cols[0], plon=point_cols[1]
+    )
+    return cand.filter(F.expr(inside)).drop("_px", "_py", "_cx", "_cy", "verts")
+
+
+def salt_hot_cells(df: DataFrame, cell_col: str, threshold: int, n_salt: int,
+                   id_col: str) -> DataFrame:
+    """Explicit skew handling: rows in cells above ``threshold`` get a salt
+    column derived from a row id; the other side of a join must explode its
+    rows for hot cells across all salts. AQE skew-join covers the rest."""
+    counts = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot = counts.filter(F.col("_n") > threshold).select(cell_col, F.lit(True).alias("_hot"))
+    return (
+        df.join(F.broadcast(hot), cell_col, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hot").isNotNull(), F.pmod(F.hash(F.col(id_col)), F.lit(n_salt)))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+
+
+def knn_nearest(points: DataFrame, places: DataFrame,
+                levels: list[int] | None = None,
+                point_keys: list[str] | None = None) -> DataFrame:
+    """Top-1 nearest place per point (J15) as a fixed multi-level lazy DAG.
+
+    points: (*point_keys, lat, lon); places: (item, lat, lon).
+    At grid level ``b`` a point's 3x3 cell neighborhood is searched (places
+    exploded to their 9 neighbor cells); a hit is accepted iff
+    dist^2 <= (180/2^b)^2 — any place outside the neighborhood is at least one
+    full cell (180/2^b degrees) away, so the found minimum is the true
+    nearest. Unresolved points cascade to the next coarser level; level 0 is
+    one global cell (brute force for the stragglers). Ties broken by item.
+    """
+    levels = levels or [8, 6, 4, 2, 0]
+    point_keys = point_keys or ["language", "title"]
+    assert levels[-1] == 0, "last level must be global"
+
+    results = []
+    remaining = points.select(*point_keys, "lat", "lon")
+    for b in levels:
+        n = 1 << b
+        px, py = xy_cols(F.col("lat"), F.col("lon"), b)
+        pts = remaining.withColumn("_cx", px).withColumn("_cy", py)
+        gx, gy = xy_cols(F.col("g_lat"), F.col("g_lon"), b)
+        pl = (
+            places.select(
+                F.col("item").alias("g_item"),
+                F.col("lat").alias("g_lat"),
+                F.col("lon").alias("g_lon"),
+            )
+            .withColumn("_gx0", gx)
+            .withColumn("_gy0", gy)
+            .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .select(
+                "g_item", "g_lat", "g_lon",
+                F.pmod(F.col("_gx0") + F.col("_dx"), F.lit(n)).alias("_gx"),
+                (F.col("_gy0") + F.col("_dy")).alias("_gy"),
+            )
+            .filter((F.col("_gy") >= 0) & (F.col("_gy") < n))
+            .dropDuplicates(["g_item", "_gx", "_gy"])
+        )
+        cand = pts.join(pl, (pts["_cx"] == pl["_gx"]) & (pts["_cy"] == pl["_gy"]))
+        # explicit multiplication (not pow) so the DuckDB oracle's identical
+        # expression is bit-equal
+        dlat = F.col("lat") - F.col("g_lat")
+        dlon = F.col("lon") - F.col("g_lon")
+        cand = cand.withColumn("_d2", dlat * dlat + dlon * dlon)
+        w = Window.partitionBy(*point_keys).orderBy("_d2", "g_item")
+        best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        if b > 0:
+            guard = (180.0 / n) ** 2
+            accepted = best.filter(F.col("_d2") <= F.lit(guard))
+        else:
+            accepted = best
+        results.append(
+            accepted.select(
+                *point_keys, "lat", "lon",
+                F.col("g_item").alias("nearest_item"),
+                F.col("_d2").alias("dist2"),
+            )
+        )
+        if b > 0:
+            remaining = pts.join(
+                accepted.select(*point_keys), point_keys, "left_anti"
+            ).select(*point_keys, "lat", "lon")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,110 @@
+"""Text-analysis operators for the training-data pipeline (driver `documents`
+table): language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All JVM-side expressions (no Python in the hot path); each has
+an exactly-matching DuckDB oracle built from the same primitive emitters.
+
+Cross-engine 60-bit hash: int(md5(x)[:15], 16) — Spark via conv(), DuckDB via
+a digit-fold (oracle.hash60_sql). Identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def hash60_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword heuristic language ID: per language, the fraction of
+    words that are stopwords; argmax with 'und' (unknown) when all zero.
+    Deterministic tie-break: language name ascending."""
+    w = words_col(F.col("text"))
+    out = docs.select("doc_id", w.alias("_w"))
+    for L, sw in STOPWORDS.items():
+        hits = F.size(F.filter(F.col("_w"), lambda x: x.isin(sw)))
+        out = out.withColumn(f"_hits_{L}", hits)
+    n = F.greatest(F.size("_w"), F.lit(1))
+    langs = sorted(STOPWORDS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # pick max hits; ties -> first language in sorted order wins
+    for L in reversed(langs):
+        cond = F.col(f"_hits_{L}") >= best_score
+        best = F.when((F.col(f"_hits_{L}") > 0) & cond, F.lit(L)).otherwise(best)
+        best_score = F.when(cond, F.col(f"_hits_{L}")).otherwise(best_score)
+    return out.select(
+        "doc_id",
+        best.alias("lang_guess"),
+        *[
+            F.floor(F.col(f"_hits_{L}") * 1000000.0 / n + 0.5).cast("bigint").alias(f"ratio_{L}_e6")
+            for L in langs
+        ],
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: word count, mean word length, stopword ratio,
+    alpha ratio -> composite score (README-style filters for training data)."""
+    w = words_col(F.col("text"))
+    d = docs.select("doc_id", F.col("text"), w.alias("_w"))
+    n_words = F.size("_w").cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    sw = STOPWORDS["en"]
+    sw_hits = F.size(F.filter(F.col("_w"), lambda x: x.isin(sw))).cast("bigint")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("bigint")
+    d = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        sw_hits.alias("stopword_hits"),
+        alpha.alias("alpha_chars"),
+    )
+    nz = F.greatest(F.col("n_words"), F.lit(1))
+    mean_wl = (F.col("n_chars") - (F.col("n_words") - 1)) / nz
+    score = (
+        F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.4
+        + (F.col("stopword_hits") / nz) * 0.3
+        + (F.col("alpha_chars") / F.greatest(F.col("n_chars"), F.lit(1))) * 0.3
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "stopword_hits",
+        F.floor(mean_wl * 1000000.0 + 0.5).cast("bigint").alias("mean_word_len_e6"),
+        F.floor(score * 1000000.0 + 0.5).cast("bigint").alias("quality_e6"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + distinct words."""
+    w = words_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_RE)).cast("bigint").alias("n_re_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_words"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic 60-bit content fingerprint of normalized text."""
+    norm = F.lower(F.regexp_replace("text", "[^A-Za-z0-9 ]", " "))
+    return docs.select(
+        "doc_id",
+        hash60_col(norm).alias("fingerprint60"),
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+    )

@@ -191,6 +191,29 @@ wmi AS (
   UNION ALL
   SELECT f.* FROM from_redirects f
   ANTI JOIN articles_out a ON f.language = a.language AND f.title = a.title
+),
+polygons AS (
+  SELECT f1 AS item,
+         list_transform(string_split(f3, ','), s -> {{
+           lat: TRY_CAST(split_part(s, ':', 1) AS DOUBLE),
+           lon: TRY_CAST(split_part(s, ':', 2) AS DOUBLE)
+         }}) AS verts
+  FROM spans WHERE kind = 'place_polygon'
+),
+polygons_bbox AS (
+  SELECT item, verts,
+         list_aggregate(list_transform(verts, v -> v.lat), 'min') AS min_lat,
+         list_aggregate(list_transform(verts, v -> v.lat), 'max') AS max_lat,
+         list_aggregate(list_transform(verts, v -> v.lon), 'min') AS min_lon,
+         list_aggregate(list_transform(verts, v -> v.lon), 'max') AS max_lon
+  FROM polygons
+),
+entity_points AS (
+  SELECT language, title, wd_page_title AS wikidata_id, lat, lon, importance
+  FROM scored WHERE wd_page_title IS NOT NULL AND lat IS NOT NULL
+),
+geo_places AS (
+  SELECT item, lat, lon FROM wikidata_places WHERE lat IS NOT NULL
 )
 """
 
@@ -200,6 +223,58 @@ def q(final_select: str, docs_path: str = SPANS_SF001) -> str:
 
 
 E6 = "CAST(floor(importance * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _spatial_oracles() -> dict[str, str]:
+    from .functions.cells import cell_sql, morton_sql
+    from .operators.spatial import duckdb_ray_cast_sql
+    from .operators.tiles import tile_sql
+
+    cells = ", ".join(
+        f"{cell_sql('lat', 'lon', r)} AS cell_r{r}" for r in (5, 6, 7, 8, 9)
+    )
+    ray = duckdb_ray_cast_sql("g.verts", "p.lat", "p.lon")
+    tx, ty = tile_sql("z.zoom", "p.lat", "p.lon")
+    return {
+        "entity_points": q(
+            f"SELECT language, title, wikidata_id, lat, lon, {E6} AS importance_e6"
+            " FROM entity_points"
+        ),
+        "cell_encode": q(
+            f"SELECT language, title, {cells}, {morton_sql('lat', 'lon')} AS s2_morton"
+            " FROM entity_points"
+        ),
+        "spatial_join_pip": q(
+            f"""SELECT p.language, p.title, p.wikidata_id, g.item AS place_item
+FROM entity_points p
+JOIN polygons_bbox g
+  ON p.lat BETWEEN g.min_lat AND g.max_lat
+ AND p.lon BETWEEN g.min_lon AND g.max_lon
+WHERE {ray}"""
+        ),
+        "knn_nearest_place": q(
+            """SELECT language, title, nearest_item,
+       CAST(floor(dist2 * 1000000000.0 + 0.5) AS BIGINT) AS dist2_e9
+FROM (
+  SELECT p.language, p.title, g.item AS nearest_item,
+         (p.lat - g.lat) * (p.lat - g.lat) + (p.lon - g.lon) * (p.lon - g.lon) AS dist2,
+         row_number() OVER (
+           PARTITION BY p.language, p.title
+           ORDER BY (p.lat - g.lat) * (p.lat - g.lat) + (p.lon - g.lon) * (p.lon - g.lon),
+                    g.item) AS rn
+  FROM entity_points p CROSS JOIN geo_places g
+) WHERE rn = 1"""
+        ),
+        "tile_importance": q(
+            f"""SELECT z.zoom, {tx} AS tile_x, {ty} AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(floor(SUM(p.importance) * 1000000.0 + 0.5) AS BIGINT) AS importance_sum_e6
+FROM entity_points p
+CROSS JOIN (SELECT unnest([4, 6, 8, 10]) AS zoom) z
+GROUP BY 1, 2, 3"""
+        ),
+    }
+
 
 ORACLES: dict[str, str] = {
     "extract_page": q("SELECT language, page_id, page_title FROM page"),
@@ -224,6 +299,7 @@ ORACLES: dict[str, str] = {
         f"SELECT language, type, title, {E6} AS importance_e6, wikidata_id FROM wmi"
     ),
 }
+ORACLES.update(_spatial_oracles())
 
 
 def sanity_check_levels() -> None:

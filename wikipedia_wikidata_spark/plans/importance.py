@@ -257,10 +257,10 @@ def wikimedia_importance(scored: DataFrame, v: dict[str, DataFrame]) -> DataFram
     return articles_out.unionByName(red_out)
 
 
-def run_importance(
+def build_scored(
     spark: SparkSession, sf_dir: str, languages: list[str] | None = None
-) -> DataFrame:
-    """Full pipeline: documents -> wikimedia_importance rows (unordered)."""
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Everything up to the scored article table; returns (scored, views)."""
     languages = languages or LANGUAGES
     docs = load_documents(spark, sf_dir)
     v = extract_views(docs, languages)
@@ -271,7 +271,31 @@ def run_importance(
     ge = geo_earth_wikidata(v)
     places = wikidata_places(v, levels, ge)
     wp = wikidata_pages(places, v["sitelinks"], languages)
-    sc = scored_articles(af, wp)
+    v["wikidata_places"] = places
+    return scored_articles(af, wp), v
+
+
+def entity_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-tagged scored articles — the point set for the spatial extension
+    (north_star: 'entity points' joined to place polygons / kNN / tiles)."""
+    sc, _ = build_scored(spark, sf_dir)
+    return sc.filter(
+        F.col("wd_page_title").isNotNull() & F.col("lat").isNotNull()
+    ).select(
+        "language",
+        "title",
+        F.col("wd_page_title").alias("wikidata_id"),
+        "lat",
+        "lon",
+        "importance",
+    )
+
+
+def run_importance(
+    spark: SparkSession, sf_dir: str, languages: list[str] | None = None
+) -> DataFrame:
+    """Full pipeline: documents -> wikimedia_importance rows (unordered)."""
+    sc, v = build_scored(spark, sf_dir, languages)
     return wikimedia_importance(sc, v)
 
 

@@ -113,6 +113,70 @@ def q_importance_pipeline(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- spatial
+
+def _e6(col, alias):
+    return F.floor(F.col(col) * 1000000.0 + 0.5).cast("bigint").alias(alias)
+
+
+def q_entity_points(spark, sf_dir):
+    ep = imp.entity_points(spark, sf_dir)
+    return ep.select(
+        "language", "title", "wikidata_id", "lat", "lon", _e6("importance", "importance_e6")
+    )
+
+
+def q_cell_encode(spark, sf_dir):
+    from .functions.cells import make_cell_udf, make_morton_udf
+
+    ep = imp.entity_points(spark, sf_dir)
+    cols = [make_cell_udf(r)(F.col("lat"), F.col("lon")).alias(f"cell_r{r}") for r in (5, 6, 7, 8, 9)]
+    return ep.select(
+        "language", "title", *cols,
+        make_morton_udf()(F.col("lat"), F.col("lon")).alias("s2_morton"),
+    )
+
+
+def q_spatial_join_pip(spark, sf_dir):
+    from .operators.spatial import pip_join
+
+    ep = imp.entity_points(spark, sf_dir)
+    polys = _views(spark, sf_dir)["polygons"]
+    j = pip_join(ep, polys.select("item", "verts"), res=5)
+    return j.select(
+        "language", "title", "wikidata_id", F.col("item").alias("place_item")
+    )
+
+
+def q_knn_nearest_place(spark, sf_dir):
+    from .operators.spatial import knn_nearest
+
+    sc, v = imp.build_scored(spark, sf_dir)
+    ep = sc.filter(
+        F.col("wd_page_title").isNotNull() & F.col("lat").isNotNull()
+    ).select("language", "title", "lat", "lon")
+    places = v["wikidata_places"].filter(F.col("lat").isNotNull()).select(
+        "item", "lat", "lon"
+    )
+    out = knn_nearest(ep, places)
+    return out.select(
+        "language", "title", "nearest_item",
+        F.floor(F.col("dist2") * 1000000000.0 + 0.5).cast("bigint").alias("dist2_e9"),
+    )
+
+
+def q_tile_importance(spark, sf_dir):
+    from .operators.tiles import tile_importance
+
+    ep = imp.entity_points(spark, sf_dir)
+    t = tile_importance(ep)
+    return t.select(
+        "zoom", "tile_x", "tile_y",
+        F.col("n_entities").alias("n_entities"),
+        F.floor(F.col("importance_sum") * 1000000.0 + 0.5).cast("bigint").alias("importance_sum_e6"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_page": q_extract_page,
     "extract_linktarget": q_extract_linktarget,
@@ -131,6 +195,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wikidata_pages": q_wikidata_pages,
     "top_languages": q_top_languages,
     "importance_pipeline": q_importance_pipeline,
+    "entity_points": q_entity_points,
+    "cell_encode": q_cell_encode,
+    "spatial_join_pip": q_spatial_join_pip,
+    "knn_nearest_place": q_knn_nearest_place,
+    "tile_importance": q_tile_importance,
 }
 
 
