@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Benchmark entrypoint (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "docs_per_sec": ..., "n_docs": ...}
+
+The north metric (BASELINE.json) is documents/sec through the spatial job
+(corpus scan -> extract -> score -> cell encode -> PIP join -> kNN -> tiles);
+`docs_per_sec` reports it. All sinks are noop (no single-file writes, no
+global sorts inside the timed region).
+
+--scaling: run the spatial job at local[8] and local[32] in fresh subprocesses
+and report throughput at both + efficiency = (t8/t32)/4 (the sandbox protocol
+for the north_rule's N->4N criterion; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def spatial_job(spark, sf_dir):
+    """The north-star job: interleaved corpus -> spatial join + tile assign."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_wikidata_spark.functions.cells import make_cell_udf, make_morton_udf
+    from wikipedia_wikidata_spark.operators.extract import extract_views, load_documents
+    from wikipedia_wikidata_spark.operators.spatial import knn_nearest, pip_join
+    from wikipedia_wikidata_spark.operators.tiles import tile_importance
+    from wikipedia_wikidata_spark.plans.importance import build_scored
+
+    sc, v = build_scored(spark, sf_dir)
+    ep = sc.filter(
+        F.col("wd_page_title").isNotNull() & F.col("lat").isNotNull()
+    ).select(
+        "language", "title", F.col("wd_page_title").alias("wikidata_id"),
+        "lat", "lon", "importance",
+    )
+    ep = ep.withColumn("cell_r7", make_cell_udf(7)(F.col("lat"), F.col("lon")))
+    ep = ep.withColumn("s2", make_morton_udf()(F.col("lat"), F.col("lon")))
+    ep.persist()
+    _noop(ep)
+    _noop(pip_join(ep, v["polygons"].select("item", "verts"), res=5))
+    places = v["wikidata_places"].filter(F.col("lat").isNotNull()).select("item", "lat", "lon")
+    places.persist()
+    _noop(knn_nearest(ep, places))
+    _noop(tile_importance(ep))
+    ep.unpersist()
+    places.unpersist()
+
+
+def run_bench(master: str, sf_dir: str) -> dict:
+    from wikipedia_wikidata_spark.session import get_spark
+    from wikipedia_wikidata_spark.sources.synth import ensure_spans_data
+
+    d = ensure_spans_data(sf_dir)  # corpus generation is not timed
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
+    ).fetchone()[0]
+
+    spark = get_spark("wws-bench", master=master)
+    try:
+        from wikipedia_wikidata_spark.plans.importance import run_importance
+        from wikipedia_wikidata_spark.queries_training import (
+            q_dedup_minhash_lsh, q_emb_cosine_topk,
+        )
+
+        queries = {}
+        t0 = time.time()
+        _noop(run_importance(spark, sf_dir))
+        queries["importance_pipeline"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        spatial_job(spark, sf_dir)
+        t_spatial = time.time() - t0
+        queries["spatial_join_tiles"] = round(t_spatial, 3)
+
+        t0 = time.time()
+        _noop(q_dedup_minhash_lsh(spark, sf_dir))
+        queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        _noop(q_emb_cosine_topk(spark, sf_dir))
+        queries["emb_cosine_topk"] = round(time.time() - t0, 3)
+
+        total = round(sum(queries.values()), 3)
+        sf = float(os.path.basename(os.path.normpath(sf_dir))[2:] or 0.1)
+        return {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "n_docs": int(n_docs),
+            "docs_per_sec": round(n_docs / t_spatial, 1),
+            "master": master,
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    if "--scaling" in sys.argv:
+        out = {}
+        for n in (8, 32):
+            r = subprocess.run(
+                [sys.executable, __file__, "--single", f"local[{n}]"],
+                capture_output=True, text=True, check=True,
+            )
+            out[f"local[{n}]"] = json.loads(r.stdout.strip().splitlines()[-1])
+        t8 = out["local[8]"]["queries"]["spatial_join_tiles"]
+        t32 = out["local[32]"]["queries"]["spatial_join_tiles"]
+        eff = (t8 / t32) / 4.0
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "t_local8_sec": t8,
+            "t_local32_sec": t32,
+            "docs_per_sec_local8": out["local[8]"]["docs_per_sec"],
+            "docs_per_sec_local32": out["local[32]"]["docs_per_sec"],
+            "sf": out["local[32]"]["sf"],
+        }))
+        return
+    if "--single" in sys.argv:
+        master = sys.argv[sys.argv.index("--single") + 1]
+    else:
+        master = f"local[{CPUS}]"
+    print(json.dumps(run_bench(master, SF_DIR)))
+
+
+if __name__ == "__main__":
+    main()

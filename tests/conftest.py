@@ -21,6 +21,12 @@ def spark():
 @pytest.fixture(scope="session")
 def ddb():
     con = duckdb.connect()
+    # mirror the driver: pre-register the sf0.01 tables as views
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     yield con
     con.close()
 

@@ -1,0 +1,73 @@
+"""Checkpoint/resume (north_rule) + multimodal stub + streaming==batch."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from wikipedia_wikidata_spark.plans.pipeline import run_pipeline
+from wikipedia_wikidata_spark.sources.catalog import Catalog
+
+from .conftest import SF_DIR_SMALL
+
+
+def test_pipeline_resume(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    r1 = run_pipeline(spark, SF_DIR_SMALL, out)
+    assert all(not m["skipped"] for m in r1.values())
+    assert r1["importance"]["rows"] > 0
+    # per-partition lineage present
+    assert r1["importance"]["n_partitions"] >= 1
+    assert sum(p["rows"] for p in r1["importance"]["partitions"]) == r1["importance"]["rows"]
+
+    # simulate a kill after 'scored': drop everything downstream of it
+    cat = Catalog(out)
+    for st in ["importance", "entity_points", "spatial_assign", "knn", "tiles"]:
+        cat.drop(st)
+    r2 = run_pipeline(spark, SF_DIR_SMALL, out)
+    # upstream stages resumed (skipped), downstream recomputed
+    assert r2["spans_flat"]["skipped"] and r2["article_full"]["skipped"]
+    assert r2["scored"]["skipped"]
+    assert not r2["importance"]["skipped"]
+    # resumed stages kept the first run's id; recomputed got the new one
+    assert r2["spans_flat"]["run_id"] == r1["spans_flat"]["run_id"]
+    assert r2["importance"]["run_id"] != r1["importance"]["run_id"]
+    # identical output rows after resume
+    assert (
+        Catalog(out).read(spark, "importance").count() == r1["importance"]["rows"]
+    )
+
+
+def test_multimodal_stub(spark):
+    from wikipedia_wikidata_spark.operators.extract import load_documents
+    from wikipedia_wikidata_spark.operators.multimodal import (
+        fake_decode_reference, media_features, media_table,
+    )
+
+    docs = load_documents(spark, SF_DIR_SMALL)
+    media = media_table(docs)
+    feats = media_features(media).collect()
+    assert len(feats) > 50
+    for r in feats[:20]:
+        w, h, nf, fv = fake_decode_reference(r.media_ref)
+        assert (r.width, r.height, r.n_frames) == (w, h, nf)
+        assert [float(x) for x in r.feature] == [float(x) for x in fv]
+
+
+def test_streaming_equals_batch(spark, tmp_path_factory):
+    import pathlib
+
+    from wikipedia_wikidata_spark.queries_training import q_events_tumbling
+    from wikipedia_wikidata_spark.streaming.events import run_stream_available_now
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(d / "part-0.parquet"))
+    got = run_stream_available_now(spark, str(d), "t_stream_tumbling")
+    batch = q_events_tumbling(spark, "/root/testdata/sf0.001").select(
+        (F.col("window_start") * 1000000).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "value_sum_e6",
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0

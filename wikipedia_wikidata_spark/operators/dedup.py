@@ -1,0 +1,145 @@
+"""Deduplication operators for the training-data pipeline: exact (hash
+groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket self-join),
+SimHash, and n-gram Jaccard verification of candidates.
+
+Everything is JVM-side higher-order functions over the shared cross-engine
+hash60 (md5-prefix) primitive, so the DuckDB oracle reproduces results
+bit-for-bit. To guarantee the ops are exercised, queries run over an AUGMENTED
+corpus (augment_docs): planted exact duplicates and near-duplicates derived
+deterministically from the driver's documents table — the same augmentation is
+in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash60_col, words_col
+
+N_HASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_K = 3
+
+
+def augment_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact dups (doc_id+10^6, every 10th) ∪ near dups
+    (doc_id+2*10^6, every 7th, last word dropped)."""
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    w = words_col(F.col("text"))
+    near = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: content hash -> group size + canonical keeper."""
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    w = words_col(text)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(w) >= k, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig_0..sig_{N_HASH-1}): min over shingles of
+    hash60(j || ':' || shingle); empty shingle set -> per-doc sentinel."""
+    d = docs.select("doc_id", shingles_col(F.col("text")).alias("_sh"))
+    cols = []
+    for j in range(N_HASH):
+        h = F.array_min(
+            F.transform(
+                "_sh", lambda s, j=j: hash60_col(F.concat(F.lit(f"{j}:"), s))
+            )
+        )
+        sentinel = hash60_col(F.concat(F.lit(f"empty{j}:"), F.col("doc_id").cast("string")))
+        cols.append(F.coalesce(h, sentinel).alias(f"sig_{j}"))
+    return d.select("doc_id", *cols)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """Banding: band key = md5 of R consecutive signature values + band idx."""
+    bands = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"sig_{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+        key = F.md5(F.concat_ws(",", *parts, F.lit(str(b))).cast("binary"))
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs + exact n-gram Jaccard on distinct shingle sets."""
+    bands = lsh_bands(minhash_signature(docs))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles_col(F.col("text"))).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (F.size("_sa") + F.size("_sb") - F.size(F.array_intersect("_sa", "_sb"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.floor(jac * 1000000.0 + 0.5).cast("bigint").alias("jaccard_e6"),
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over word tokens (weight 1 per occurrence)."""
+    d = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("_w"))
+    d = d.withColumn("_h", hash60_col(F.col("_w")))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(_h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = d.groupBy("doc_id").agg(*aggs)
+    sh = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sh = term if sh is None else (sh + term)
+    return g.select("doc_id", sh.alias("simhash32"))

@@ -225,6 +225,28 @@ def q(final_select: str, docs_path: str = SPANS_SF001) -> str:
 E6 = "CAST(floor(importance * 1000000.0 + 0.5) AS BIGINT)"
 
 
+def _hexpair_sql(e: str, i: int) -> str:
+    c1 = f"CAST(strpos('0123456789abcdef', substr(md5({e}), {2 * i + 1}, 1)) - 1 AS BIGINT)"
+    c2 = f"CAST(strpos('0123456789abcdef', substr(md5({e}), {2 * i + 2}, 1)) - 1 AS BIGINT)"
+    return f"({c1} * 16 + {c2})"
+
+
+def _multimodal_oracle() -> str:
+    b = [_hexpair_sql("media_ref", i) for i in range(8)]
+    feat = ", ".join(
+        f"CAST(floor(CAST(CAST({bi} / 255.0 AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        for bi in b
+    )
+    return q(
+        f"""SELECT doc_id, media_ref,
+       CAST(256 + {b[0]} * 4 AS INTEGER) AS width,
+       CAST(256 + {b[1]} * 4 AS INTEGER) AS height,
+       CAST(1 + {b[2]} % 8 AS INTEGER) AS n_frames,
+       [{feat}] AS feature_e6
+FROM (SELECT doc_id, media_ref FROM spans WHERE kind = 'media')"""
+    )
+
+
 def _spatial_oracles() -> dict[str, str]:
     from .functions.cells import cell_sql, morton_sql
     from .operators.spatial import duckdb_ray_cast_sql
@@ -300,6 +322,7 @@ ORACLES: dict[str, str] = {
     ),
 }
 ORACLES.update(_spatial_oracles())
+ORACLES["multimodal_features"] = _multimodal_oracle()
 
 
 def sanity_check_levels() -> None:

@@ -1,0 +1,306 @@
+"""DuckDB oracle SQL for the training-data operators (dedup, similarity, text
+analysis, events, TPC-H-style) over the driver's pre-registered views
+(documents, embeddings, events, lineitem, orders, customer, nation, region).
+
+The SQL mirrors operators/{text,dedup,similarity}.py expression-for-expression
+(same hash60, same left-fold dot products, same quantization), so values match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .operators.dedup import N_BANDS, N_HASH, ROWS_PER_BAND, SIMHASH_BITS
+from .operators.similarity import DIM, N_PLANES
+from .operators.text import STOPWORDS, TOKEN_RE
+
+
+def hash60_sql(e: str) -> str:
+    return (
+        "list_reduce(list_transform(range(15), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({e}), i + 1, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def words_sql(e: str) -> str:
+    return f"list_filter(string_split({e}, ' '), w -> len(w) > 0)"
+
+
+AUG = """
+base AS (SELECT doc_id, text FROM documents),
+aug AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(({w})[1:len({w}) - 1], ' ')
+  FROM base WHERE doc_id % 7 = 0
+)
+""".format(w=words_sql("text"))
+
+
+def shingles_sql(words_expr: str, k: int = 3) -> str:
+    joins = " || ' ' || ".join(f"{{w}}[i + {j + 1}]" for j in range(k)).format(w="__W__")
+    return (
+        f"CASE WHEN len(__W__) >= {k} THEN "
+        f"list_transform(range(len(__W__) - {k - 1}), i -> {joins}) "
+        "ELSE [] END"
+    ).replace("__W__", words_expr)
+
+
+def _sig_cols() -> str:
+    cols = []
+    for j in range(N_HASH):
+        h = hash60_sql(f"'{j}:' || s")
+        mn = f"list_aggregate(list_transform(_sh, s -> {h}), 'min')"
+        sent = hash60_sql(f"'empty{j}:' || CAST(doc_id AS VARCHAR)")
+        cols.append(f"COALESCE({mn}, {sent}) AS sig_{j}")
+    return ",\n         ".join(cols)
+
+
+def minhash_ctes() -> str:
+    band_rows = []
+    for b in range(N_BANDS):
+        parts = ", ".join(f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_rows.append(
+            f"SELECT doc_id, md5(concat_ws(',', {parts}, '{b}')) AS band_key FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+{AUG},
+shingled AS (
+  SELECT doc_id, {shingles_sql(words_sql('text'))} AS _sh FROM aug
+),
+sig AS (
+  SELECT doc_id,
+         {_sig_cols()}
+  FROM shingled
+),
+bands AS (
+  {bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shd AS (SELECT doc_id, list_distinct(_sh) AS s FROM shingled)
+"""
+
+
+def simhash_sql() -> str:
+    aggs = ",\n         ".join(
+        f"SUM(CASE WHEN (_h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS _b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN _b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""WITH {AUG},
+tok AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS _w FROM aug
+),
+h AS (SELECT doc_id, {hash60_sql('_w')} AS _h FROM tok),
+g AS (
+  SELECT doc_id,
+         {aggs}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {assemble} AS simhash32 FROM g"""
+
+
+def dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"list_reduce(list_transform(range({dim}), i -> {a}[i + 1] * {b}[i + 1]), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _emb_d(col: str = "embedding") -> str:
+    return f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def cosine_topk_sql(k: int = 5, query_mod: int = 10) -> str:
+    dot = dot_sql("q_emb", "n_emb")
+    nq = f"sqrt({dot_sql('q_emb', 'q_emb')})"
+    nn = f"sqrt({dot_sql('n_emb', 'n_emb')})"
+    return f"""WITH q AS (
+  SELECT vec_id AS q_id, {_emb_d()} AS q_emb FROM embeddings WHERE vec_id % {query_mod} = 0
+),
+n AS (SELECT vec_id AS n_id, {_emb_d()} AS n_emb FROM embeddings),
+j AS (
+  SELECT q_id, n_id, {dot} / ({nq} * {nn}) AS _cos
+  FROM q CROSS JOIN n WHERE q_id != n_id
+),
+r AS (
+  SELECT q_id, n_id, _cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, n_id ASC) AS _rk
+  FROM j
+)
+SELECT q_id, n_id, CAST(_rk AS BIGINT) AS rank,
+       CAST(floor(_cos * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
+FROM r WHERE _rk <= {k}"""
+
+
+def ann_lsh_sql(k: int = 3) -> str:
+    from .operators.similarity import plane_weights
+
+    w = plane_weights()
+    terms = []
+    for p in range(N_PLANES):
+        arr = "[" + ", ".join(repr(float(x)) for x in w[p]) + "]"
+        proj = dot_sql("emb_d", f"({arr})")
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = " + ".join(terms)
+    dot = dot_sql("q_emb", "n_emb")
+    nq = f"sqrt({dot_sql('q_emb', 'q_emb')})"
+    nn = f"sqrt({dot_sql('n_emb', 'n_emb')})"
+    return f"""WITH b AS (
+  SELECT vec_id, emb_d, {bucket} AS lsh_bucket
+  FROM (SELECT vec_id, {_emb_d()} AS emb_d FROM embeddings)
+),
+j AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         {dot.replace('q_emb', 'q.emb_d').replace('n_emb', 'n.emb_d')} /
+         ({nq.replace('q_emb', 'q.emb_d')} * {nn.replace('n_emb', 'n.emb_d')}) AS _cos
+  FROM b q JOIN b n USING (lsh_bucket) WHERE q.vec_id != n.vec_id
+),
+r AS (
+  SELECT q_id, n_id, _cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, n_id ASC) AS _rk
+  FROM j
+)
+SELECT q_id, n_id, CAST(_rk AS BIGINT) AS rank,
+       CAST(floor(_cos * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
+FROM r WHERE _rk <= {k}"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(STOPWORDS)
+    hit_cols = []
+    for L in langs:
+        lst = ", ".join(f"'{s}'" for s in STOPWORDS[L])
+        hit_cols.append(
+            f"len(list_filter(_w, x -> x IN ({lst}))) AS _hits_{L}"
+        )
+    # replicate Spark's reversed-scan argmax: ties -> earliest in sorted order
+    best = "'und'"
+    best_score = "0"
+    for L in reversed(langs):
+        best = f"CASE WHEN _hits_{L} > 0 AND _hits_{L} >= {best_score} THEN '{L}' ELSE {best} END"
+        best_score = f"CASE WHEN _hits_{L} >= {best_score} THEN _hits_{L} ELSE {best_score} END"
+    ratios = ",\n       ".join(
+        f"CAST(floor(_hits_{L} * 1000000.0 / greatest(len(_w), 1) + 0.5) AS BIGINT) AS ratio_{L}_e6"
+        for L in langs
+    )
+    return f"""WITH d AS (
+  SELECT doc_id, {words_sql('text')} AS _w FROM documents
+),
+h AS (
+  SELECT doc_id, _w, {', '.join(hit_cols)} FROM d
+)
+SELECT doc_id, {best} AS lang_guess,
+       {ratios}
+FROM h"""
+
+
+def quality_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""WITH d AS (
+  SELECT doc_id, text, {words_sql('text')} AS _w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(_w) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(_w, x -> x IN ({sw}))) AS BIGINT) AS stopword_hits,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+  FROM d
+)
+SELECT doc_id, n_words, stopword_hits,
+       CAST(floor((n_chars - (n_words - 1)) / greatest(n_words, 1) * 1000000.0 + 0.5) AS BIGINT)
+         AS mean_word_len_e6,
+       CAST(floor((least(n_words / 100.0, 1.0) * 0.4
+                   + (stopword_hits / greatest(n_words, 1)) * 0.3
+                   + (alpha_chars / greatest(n_chars, 1)) * 0.3) * 1000000.0 + 0.5) AS BIGINT)
+         AS quality_e6
+FROM m"""
+
+
+TRAINING_ORACLES: dict[str, str] = {
+    "dedup_exact": f"""WITH {AUG}
+SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM aug GROUP BY 1""",
+    "dedup_minhash_lsh": f"""WITH {minhash_ctes()}
+SELECT p.doc_a, p.doc_b,
+       CAST(floor(CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
+                  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
+FROM pairs p
+JOIN shd sa ON p.doc_a = sa.doc_id
+JOIN shd sb ON p.doc_b = sb.doc_id""",
+    "dedup_simhash": simhash_sql(),
+    "emb_cosine_topk": cosine_topk_sql(),
+    "emb_ann_lsh": ann_lsh_sql(),
+    "text_lang_id": lang_id_sql(),
+    "text_quality": quality_sql(),
+    "text_token_counts": f"""SELECT doc_id,
+       CAST(len({words_sql('text')}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+       CAST(len(list_distinct({words_sql('text')})) AS BIGINT) AS n_distinct_words
+FROM documents""",
+    "text_fingerprint": f"""SELECT doc_id,
+       {hash60_sql("lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g'))")} AS fingerprint60,
+       md5(text) AS content_md5
+FROM documents""",
+    "events_tumbling": """SELECT event_type,
+       CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(SUM(value) * 1000000.0 + 0.5) AS BIGINT) AS value_sum_e6,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2""",
+    "events_sessionize": """WITH g AS (
+  SELECT user_id, epoch(ts) AS t,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+  FROM events
+)
+SELECT user_id,
+       CAST(1 + SUM(CASE WHEN prev_t IS NOT NULL AND t - prev_t > 1800.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id""",
+    "tpch_q1": """SELECT l_returnflag, l_linestatus,
+       CAST(floor(SUM(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS sum_qty_e6,
+       CAST(floor(SUM(l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)
+         AS sum_disc_price_e6,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    "top_orders_per_customer": """SELECT o_custkey, o_orderkey,
+       CAST(rk AS BIGINT) AS rank,
+       CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS totalprice_e6
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3""",
+    "customers_without_orders": """SELECT c.c_custkey, c.c_name
+FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey""",
+    "region_revenue": """SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 1000000.0 + 0.5) AS BIGINT)
+         AS revenue_e6,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2""",
+}

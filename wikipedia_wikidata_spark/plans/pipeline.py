@@ -1,0 +1,124 @@
+"""Staged, checkpoint/resume pipeline runner (north_rule).
+
+The DAG mirrors the reference's stage boundaries (complete_run.sh:29-45) but
+each boundary is an atomic catalog commit instead of a bash-script disk file;
+a killed run resumes by skipping every stage whose manifest fingerprint
+matches (the reference can only skip downloads, steps/wikipedia_download.sh:22-25
+— everything else recomputes).
+
+Stage order:
+  spans_flat -> relational views -> article_full -> scored -> importance
+  -> entity_points -> spatial_assign (PIP) -> knn -> tiles
+
+spans_flat is written partitioned by span kind: every downstream extractor
+then prunes to its kind's partition at the parquet-scan level (the reference's
+"any work done here cuts down time/space" pushdown, steps/wikipedia_sql2csv.sh:36-40,
+done once instead of per filter program).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import LANGUAGES, spans_dir_for
+from ..operators import extract as ex
+from ..operators.spatial import knn_nearest, pip_join
+from ..operators.tiles import tile_importance
+from ..sources.catalog import Catalog
+from . import importance as imp
+
+VIEW_NAMES = [
+    "page", "linktarget", "redirect", "pagelink", "langlinks",
+    "wd_page", "geo_tags", "sitelinks", "places", "polygons",
+]
+
+PIPELINE_VERSION = 3
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    languages: list[str] | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline; returns {stage: manifest}."""
+    languages = languages or LANGUAGES
+    cat = Catalog(out_root)
+    run_id = uuid.uuid4().hex[:12]
+    fp = f"v{PIPELINE_VERSION}:{spans_dir_for(sf_dir)}"
+    report: dict[str, dict] = {}
+
+    def stage(name: str, build, partition_by=None):
+        if cat.is_complete(name, fp):
+            m = cat.manifest(name)
+            m["skipped"] = True
+            report[name] = m
+            return
+        m = cat.write(spark, build(), name, fp, run_id, partition_by)
+        m["skipped"] = False
+        report[name] = m
+
+    docs = ex.load_documents(spark, sf_dir)
+    stage("spans_flat", lambda: ex.spans_flat(docs).drop("f"), ["kind"])
+
+    sp = cat.read(spark, "spans_flat").withColumn(
+        "f", F.split("text", "\x1f", 3)
+    )
+    view_builders = {
+        "page": ex.page_view, "linktarget": ex.linktarget_view,
+        "redirect": ex.redirect_view, "pagelink": ex.pagelink_view,
+        "wd_page": ex.wd_page_view, "geo_tags": ex.geo_tags_view,
+        "places": ex.places_view, "polygons": ex.polygons_view,
+    }
+    for name, fn in view_builders.items():
+        stage(f"view_{name}", lambda fn=fn: fn(sp))
+    stage("view_langlinks", lambda: ex.langlinks_view(sp, languages))
+    stage("view_sitelinks", lambda: ex.sitelinks_view(sp, languages))
+
+    v = {n: cat.read(spark, f"view_{n}") for n in VIEW_NAMES}
+    levels = spark.read.parquet(f"{spans_dir_for(sf_dir)}/place_type_levels.parquet")
+
+    def build_af():
+        plc = imp.pagelink_counts(v)
+        return imp.article_full(plc, imp.othercounts(v, plc))
+
+    stage("article_full", build_af)
+    af = cat.read(spark, "article_full")
+
+    def build_scored():
+        ge = imp.geo_earth_wikidata(v)
+        places = imp.wikidata_places(v, levels, ge)
+        wp = imp.wikidata_pages(places, v["sitelinks"], languages)
+        return imp.scored_articles(af, wp)
+
+    stage("scored", build_scored)
+    scored = cat.read(spark, "scored")
+
+    stage("wikidata_places", lambda: imp.wikidata_places(
+        v, levels, imp.geo_earth_wikidata(v)))
+    stage("importance", lambda: imp.wikimedia_importance(scored, v), ["language"])
+
+    def build_points():
+        return scored.filter(
+            F.col("wd_page_title").isNotNull() & F.col("lat").isNotNull()
+        ).select(
+            "language", "title",
+            F.col("wd_page_title").alias("wikidata_id"), "lat", "lon", "importance",
+        )
+
+    stage("entity_points", build_points)
+    pts = cat.read(spark, "entity_points")
+
+    stage("spatial_assign", lambda: pip_join(
+        pts, v["polygons"].select("item", "verts"), res=5
+    ).select("language", "title", "wikidata_id", F.col("item").alias("place_item")))
+
+    geo_places = cat.read(spark, "wikidata_places").filter(
+        F.col("lat").isNotNull()
+    ).select("item", "lat", "lon")
+    stage("knn", lambda: knn_nearest(pts, geo_places))
+    stage("tiles", lambda: tile_importance(pts), ["zoom"])
+    return report

@@ -177,6 +177,24 @@ def q_tile_importance(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import media_features, media_table
+
+    docs = load_documents(spark, sf_dir)
+    feats = media_features(media_table(docs))
+    # quantize the float feature vector for the oracle hash
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.transform(
+            "feature", lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("bigint")
+        ).alias("feature_e6"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_page": q_extract_page,
     "extract_linktarget": q_extract_linktarget,
@@ -200,16 +218,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_join_pip": q_spatial_join_pip,
     "knn_nearest_place": q_knn_nearest_place,
     "tile_importance": q_tile_importance,
+    "multimodal_features": q_multimodal_features,
 }
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    from .queries_training import TRAINING_QUERIES
+
+    out = dict(QUERIES)
+    out.update(TRAINING_QUERIES)
+    return out
 
 
 def get_oracle_sql() -> dict[str, str]:
     # Oracle SQL reads the sf0.01 corpus parquet directly; make sure it exists.
+    from .oracle_training import TRAINING_ORACLES
     from .sources.synth import ensure_spans_data
 
     ensure_spans_data(0.01)
-    return {k: v for k, v in oracle.ORACLES.items() if k in QUERIES}
+    names = set(get_queries())
+    out = {k: v for k, v in oracle.ORACLES.items() if k in names}
+    out.update({k: v for k, v in TRAINING_ORACLES.items() if k in names})
+    return out

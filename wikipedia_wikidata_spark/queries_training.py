@@ -1,0 +1,179 @@
+"""Spark callables for the training-data operators over the driver tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .operators.dedup import augment_docs, exact_dedup
+
+    return exact_dedup(augment_docs(_docs(spark, sf_dir)))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from .operators.dedup import augment_docs, minhash_candidates
+
+    return minhash_candidates(augment_docs(_docs(spark, sf_dir)))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from .operators.dedup import augment_docs, simhash
+
+    return simhash(augment_docs(_docs(spark, sf_dir)))
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    from .operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    from .operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from .operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_token_counts(spark, sf_dir):
+    from .operators.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from .operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _epoch_seconds(col):
+    # parquet ts is TIMESTAMP_NTZ; treat as UTC instants (the driver's DuckDB
+    # oracle epoch() does the same)
+    return F.unix_micros(col.cast("timestamp")) / 1000000.0
+
+
+def q_events_tumbling(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = (F.floor(_epoch_seconds(F.col("ts")) / 3600.0) * 3600).cast("bigint")
+    return ev.groupBy(
+        "event_type", win.alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.sum("value") * 1000000.0 + 0.5).cast("bigint").alias("value_sum_e6"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = _epoch_seconds(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", "event_id", "ts", t.alias("t")).withColumn(
+        "prev_t", F.lag("t").over(w)
+    )
+    new_sess = F.when(
+        F.col("prev_t").isNotNull() & (F.col("t") - F.col("prev_t") > 1800.0), 1
+    ).otherwise(0)
+    return g.groupBy("user_id").agg(
+        (F.lit(1) + F.sum(new_sess)).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.floor(F.sum("l_quantity") * 1000000.0 + 0.5).cast("bigint").alias("sum_qty_e6"),
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1000000.0 + 0.5
+            ).cast("bigint").alias("sum_disc_price_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rk").cast("bigint").alias("rank"),
+            F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint").alias("totalprice_e6"),
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_region_revenue(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1000000.0 + 0.5
+        ).cast("bigint").alias("revenue_e6"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+TRAINING_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ann_lsh": q_emb_ann_lsh,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_token_counts": q_text_token_counts,
+    "text_fingerprint": q_text_fingerprint,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "tpch_q1": q_tpch_q1,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "region_revenue": q_region_revenue,
+}

@@ -1,0 +1,65 @@
+"""Structured Streaming path for the events stream.
+
+The reference is strictly monthly batch (SURVEY.md §2.8) — streaming here is
+the target-engine extension for incremental ingest: the same tumbling-window
+aggregation as the batch query (queries_training.q_events_tumbling), run as a
+file-source stream with a watermark, so late data is handled and the batch
+query doubles as the correctness oracle (stream == batch on a closed input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampNTZType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_tumbling_counts(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream(parquet dir) -> 1h tumbling window per event_type with a
+    10-minute watermark -> streaming DataFrame (caller picks sink/trigger)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    withevent = src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    return (
+        withevent.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value") * 1000000.0 + 0.5).cast("bigint").alias("value_sum_e6"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum_e6",
+        )
+    )
+
+
+def run_stream_available_now(spark: SparkSession, input_dir: str, name: str) -> DataFrame:
+    """Drain the whole input with Trigger.AvailableNow into a memory sink;
+    returns the final result table (complete mode)."""
+    q = (
+        stream_tumbling_counts(spark, input_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
