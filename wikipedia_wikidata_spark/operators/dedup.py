@@ -66,17 +66,34 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def perm_consts(j: int) -> tuple[int, int]:
+    """Affine permutation constants for minhash j, derived deterministically
+    from md5 (odd multiplier < 2^31, addend < 2^31) — identical in the oracle."""
+    import hashlib
+
+    d = hashlib.md5(f"perm{j}".encode()).digest()
+    a = (int.from_bytes(d[:4], "big") | 1) & 0x7FFFFFFF
+    b = int.from_bytes(d[4:8], "big") & 0x7FFFFFFF
+    return a, b
+
+
 def minhash_signature(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig_0..sig_{N_HASH-1}): min over shingles of
-    hash60(j || ':' || shingle); empty shingle set -> per-doc sentinel."""
+    """(doc_id, sig_0..sig_{N_HASH-1}): one md5-based base hash per shingle,
+    then N_HASH affine permutations h_j = (a_j * (h & 2^30-1) + b_j) — min per
+    doc. Empty shingle set -> per-doc sentinel. (One md5 per shingle instead
+    of N_HASH md5s: 16x less hashing in the hot path.)"""
     d = docs.select("doc_id", shingles_col(F.col("text")).alias("_sh"))
+    d = d.withColumn(
+        "_sh_h",
+        F.transform("_sh", lambda s: hash60_col(s).bitwiseAND(F.lit(0x3FFFFFFF))),
+    )
+    def affine(a, b):
+        return lambda x: F.lit(a) * x + F.lit(b)
+
     cols = []
     for j in range(N_HASH):
-        h = F.array_min(
-            F.transform(
-                "_sh", lambda s, j=j: hash60_col(F.concat(F.lit(f"{j}:"), s))
-            )
-        )
+        a, b = perm_consts(j)
+        h = F.array_min(F.transform("_sh_h", affine(a, b)))
         sentinel = hash60_col(F.concat(F.lit(f"empty{j}:"), F.col("doc_id").cast("string")))
         cols.append(F.coalesce(h, sentinel).alias(f"sig_{j}"))
     return d.select("doc_id", *cols)

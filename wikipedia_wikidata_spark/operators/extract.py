@@ -197,8 +197,18 @@ def polygons_view(sp: DataFrame) -> DataFrame:
     return v.select("item", "n_vertices", vert.alias("verts"))
 
 
-def extract_views(docs: DataFrame, languages: list[str] | None = None) -> dict[str, DataFrame]:
+def extract_views(
+    docs: DataFrame, languages: list[str] | None = None, cache: bool = False
+) -> dict[str, DataFrame]:
+    """All relational views. cache=True persists the exploded span table so
+    the ~10 views share one scan+explode (the in-memory analog of the
+    pipeline's kind-partitioned spans_flat checkpoint; at 100 TB use
+    plans/pipeline.py instead)."""
     sp = spans_flat(docs)
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        sp = sp.persist(StorageLevel.MEMORY_AND_DISK)
     return {
         "page": page_view(sp),
         "linktarget": linktarget_view(sp),

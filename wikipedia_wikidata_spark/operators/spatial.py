@@ -134,11 +134,12 @@ def knn_nearest(points: DataFrame, places: DataFrame,
     nearest. Unresolved points cascade to the next coarser level; level 0 is
     one global cell (brute force for the stragglers). Ties broken by item.
     """
-    levels = levels or [8, 6, 4, 2, 0]
+    levels = levels or [6, 3, 0]
     point_keys = point_keys or ["language", "title"]
     assert levels[-1] == 0, "last level must be global"
 
     results = []
+    cached = []
     remaining = points.select(*point_keys, "lat", "lon")
     for b in levels:
         n = 1 << b
@@ -171,6 +172,10 @@ def knn_nearest(points: DataFrame, places: DataFrame,
         cand = cand.withColumn("_d2", dlat * dlat + dlon * dlon)
         w = Window.partitionBy(*point_keys).orderBy("_d2", "g_item")
         best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        # persist per level: without it the cascading remaining/accepted
+        # lineage recomputes every earlier level (exponential blowup)
+        best = best.persist()
+        cached.append(best)
         if b > 0:
             guard = (180.0 / n) ** 2
             accepted = best.filter(F.col("_d2") <= F.lit(guard))

@@ -314,6 +314,17 @@ ORACLES: dict[str, str] = {
     "geo_earth_wikidata": q("SELECT gt_page_id, gt_lat, gt_lon, page_title FROM geo_earth"),
     "wikidata_places": q("SELECT item, instance_of, ont_level, lat, lon FROM wikidata_places"),
     "wikidata_pages": q("SELECT item, instance_of, lat, lon, wp_page_title, language FROM wikidata_pages"),
+    "redirect_full": q("SELECT language, from_title, to_title FROM redirect_full"),
+    "scored_articles": q(
+        "SELECT language, title, langcount, othercount, totalcount, lat, lon,"
+        " wd_page_title, instance_of,"
+        " CAST(floor(importance * 1000000.0 + 0.5) AS BIGINT) AS importance_e6"
+        " FROM scored"
+    ),
+    "uniqueness_audit": q(
+        "SELECT language, title, CAST(count(*) AS BIGINT) AS n FROM wmi"
+        " GROUP BY language, title HAVING count(*) > 1"
+    ),
     "top_languages": q(
         "SELECT language, CAST(count(*) AS BIGINT) AS size FROM wmi GROUP BY language"
     ),

@@ -52,10 +52,12 @@ def shingles_sql(words_expr: str, k: int = 3) -> str:
 
 
 def _sig_cols() -> str:
+    from .operators.dedup import perm_consts
+
     cols = []
     for j in range(N_HASH):
-        h = hash60_sql(f"'{j}:' || s")
-        mn = f"list_aggregate(list_transform(_sh, s -> {h}), 'min')"
+        a, b = perm_consts(j)
+        mn = f"list_aggregate(list_transform(_sh_h, x -> {a} * x + {b}), 'min')"
         sent = hash60_sql(f"'empty{j}:' || CAST(doc_id AS VARCHAR)")
         cols.append(f"COALESCE({mn}, {sent}) AS sig_{j}")
     return ",\n         ".join(cols)
@@ -72,7 +74,9 @@ def minhash_ctes() -> str:
     return f"""
 {AUG},
 shingled AS (
-  SELECT doc_id, {shingles_sql(words_sql('text'))} AS _sh FROM aug
+  SELECT doc_id, _sh,
+         list_transform(_sh, s -> {hash60_sql('s')} & 1073741823) AS _sh_h
+  FROM (SELECT doc_id, {shingles_sql(words_sql('text'))} AS _sh FROM aug)
 ),
 sig AS (
   SELECT doc_id,

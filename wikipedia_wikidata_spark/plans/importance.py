@@ -263,7 +263,12 @@ def build_scored(
     """Everything up to the scored article table; returns (scored, views)."""
     languages = languages or LANGUAGES
     docs = load_documents(spark, sf_dir)
-    v = extract_views(docs, languages)
+    # NOTE: cache=True measured SLOWER here (88s vs 15s at sf0.1): persisting
+    # the exploded spans defeats parquet predicate/column pushdown per view
+    # and materializes the wide payload array. Re-scanning the columnar file
+    # wins; at real scale the kind-partitioned checkpoint (plans/pipeline.py)
+    # is the right sharing mechanism.
+    v = extract_views(docs, languages, cache=False)
     levels = spark.read.parquet(f"{spans_dir_for(sf_dir)}/place_type_levels.parquet")
     plc = pagelink_counts(v)
     oc = othercounts(v, plc)

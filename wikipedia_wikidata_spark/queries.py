@@ -97,6 +97,43 @@ def q_wikidata_pages(spark, sf_dir):
     return imp.wikidata_pages(places, v["sitelinks"], LANGUAGES)
 
 
+def q_redirect_full(spark, sf_dir):
+    """J2/U1: per-language redirect x page join (steps/wikipedia_process.sh:19-35)."""
+    v = _views(spark, sf_dir)
+    rd = v["redirect"]
+    pg = v["page"].select(
+        F.col("language").alias("pg_language"), "page_id", "page_title"
+    )
+    return rd.join(
+        pg, (rd.language == pg.pg_language) & (rd.rd_from == pg.page_id)
+    ).select(
+        rd.language.alias("language"),
+        pg.page_title.alias("from_title"),
+        rd.rd_title.alias("to_title"),
+    )
+
+
+def q_scored_articles(spark, sf_dir):
+    """J9+A4+F6: the full scored article table (pre-output-shaping)."""
+    sc, _ = imp.build_scored(spark, sf_dir)
+    return sc.select(
+        "language", "title", "langcount", "othercount", "totalcount",
+        "lat", "lon", "wd_page_title", "instance_of",
+        F.floor(F.col("importance") * 1000000.0 + 0.5).cast("bigint").alias("importance_e6"),
+    )
+
+
+def q_uniqueness_audit(spark, sf_dir):
+    """A8: (language,title) duplicate audit — must return 0 rows
+    (steps/output.sh:73-81; README.md:65)."""
+    wmi = imp.run_importance(spark, sf_dir)
+    return (
+        wmi.groupBy("language", "title")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
 def q_top_languages(spark, sf_dir):
     wmi = imp.run_importance(spark, sf_dir)
     return wmi.groupBy("language").agg(F.count(F.lit(1)).alias("size"))
@@ -211,6 +248,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_earth_wikidata": q_geo_earth_wikidata,
     "wikidata_places": q_wikidata_places,
     "wikidata_pages": q_wikidata_pages,
+    "redirect_full": q_redirect_full,
+    "scored_articles": q_scored_articles,
+    "uniqueness_audit": q_uniqueness_audit,
     "top_languages": q_top_languages,
     "importance_pipeline": q_importance_pipeline,
     "entity_points": q_entity_points,
