@@ -53,8 +53,7 @@ def spatial_job(spark, sf_dir):
     )
     ep = ep.withColumn("cell_r7", make_cell_udf(7)(F.col("lat"), F.col("lon")))
     ep = ep.withColumn("s2", make_morton_udf()(F.col("lat"), F.col("lon")))
-    ep.persist()
-    _noop(ep)
+    ep.persist().count()  # one materializing action; downstream reuse
     _noop(pip_join(ep, v["polygons"].select("item", "verts"), res=5))
     places = v["wikidata_places"].filter(F.col("lat").isNotNull()).select("item", "lat", "lon")
     places.persist()
@@ -118,26 +117,59 @@ def run_bench(master: str, sf_dir: str) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        # N -> 4N protocol: the same spatial job, same input, two thread
+        # counts, IDENTICAL plan (fixed shuffle partitions), codegen warmed
+        # on sf0.001 first so the measured region is the job, not JIT.
+        sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf1")
+        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8")
+        n_lo, n_hi = (int(x) for x in pair.split(","))
         out = {}
-        for n in (8, 32):
+        for n in (n_lo, n_hi):
             r = subprocess.run(
-                [sys.executable, __file__, "--single", f"local[{n}]"],
+                [sys.executable, __file__, "--spatial-only", f"local[{n}]", sf_dir],
                 capture_output=True, text=True, check=True,
             )
-            out[f"local[{n}]"] = json.loads(r.stdout.strip().splitlines()[-1])
-        t8 = out["local[8]"]["queries"]["spatial_join_tiles"]
-        t32 = out["local[32]"]["queries"]["spatial_join_tiles"]
-        eff = (t8 / t32) / 4.0
+            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        t_lo, t_hi = out[n_lo]["t_spatial_sec"], out[n_hi]["t_spatial_sec"]
+        eff = (t_lo / t_hi) / (n_hi / n_lo)
         print(json.dumps({
-            "metric": "scaling_efficiency_8_to_32",
+            "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
             "value": round(eff, 3),
             "unit": "ratio",
-            "t_local8_sec": t8,
-            "t_local32_sec": t32,
-            "docs_per_sec_local8": out["local[8]"]["docs_per_sec"],
-            "docs_per_sec_local32": out["local[32]"]["docs_per_sec"],
-            "sf": out["local[32]"]["sf"],
+            f"t_local{n_lo}_sec": t_lo,
+            f"t_local{n_hi}_sec": t_hi,
+            f"docs_per_sec_local{n_lo}": out[n_lo]["docs_per_sec"],
+            f"docs_per_sec_local{n_hi}": out[n_hi]["docs_per_sec"],
+            "n_docs": out[n_hi]["n_docs"],
+            "sf_dir": sf_dir,
         }))
+        return
+    if "--spatial-only" in sys.argv:
+        i = sys.argv.index("--spatial-only")
+        master, sf_dir = sys.argv[i + 1], sys.argv[i + 2]
+        from wikipedia_wikidata_spark.session import get_spark
+        from wikipedia_wikidata_spark.sources.synth import ensure_spans_data
+
+        d = ensure_spans_data(sf_dir)
+        import duckdb
+
+        n_docs = duckdb.connect().execute(
+            f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
+        ).fetchone()[0]
+        spark = get_spark("wws-scaling", master=master, shuffle_partitions=32)
+        try:
+            spatial_job(spark, "/root/testdata/sf0.001")  # warm codegen/UDFs
+            t0 = time.time()
+            spatial_job(spark, sf_dir)
+            dt = time.time() - t0
+            print(json.dumps({
+                "t_spatial_sec": round(dt, 2),
+                "docs_per_sec": round(n_docs / dt, 1),
+                "n_docs": int(n_docs),
+                "master": master,
+            }))
+        finally:
+            spark.stop()
         return
     if "--single" in sys.argv:
         master = sys.argv[sys.argv.index("--single") + 1]

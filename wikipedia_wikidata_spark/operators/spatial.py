@@ -134,7 +134,10 @@ def knn_nearest(points: DataFrame, places: DataFrame,
     nearest. Unresolved points cascade to the next coarser level; level 0 is
     one global cell (brute force for the stragglers). Ties broken by item.
     """
-    levels = levels or [6, 3, 0]
+    # start fine so dense (urban mega-cell) regions resolve with small
+    # neighborhoods; sparse regions cascade coarser. Level 0 = brute force
+    # for the stragglers only.
+    levels = levels or [10, 7, 4, 0]
     point_keys = point_keys or ["language", "title"]
     assert levels[-1] == 0, "last level must be global"
 
