@@ -48,6 +48,22 @@ def test_pip_matches_numpy_brute_force(spark):
     assert len(exp) > 0, "synthetic data must exercise PIP hits"
 
 
+def test_pip_salting_preserves_results(spark):
+    """Mega-cell salting must not change the join result, only the keys."""
+    ep = entity_points(spark, SF_DIR_SMALL).select("language", "title", "lat", "lon")
+    polys = extract_views(load_documents(spark, SF_DIR_SMALL))["polygons"]
+    base = {
+        tuple(r) for r in pip_join(ep, polys.select("item", "verts"), res=5)
+        .select("language", "title", "item").collect()
+    }
+    salted = {
+        tuple(r) for r in pip_join(
+            ep, polys.select("item", "verts"), res=5, salt=4, hot_threshold=5
+        ).select("language", "title", "item").collect()
+    }
+    assert base == salted and len(base) > 0
+
+
 def test_knn_matches_numpy_brute_force(spark):
     sc, v = build_scored(spark, SF_DIR_SMALL)
     ep = sc.filter(

@@ -71,15 +71,23 @@ def duckdb_ray_cast_sql(verts: str, plat: str, plon: str) -> str:
 
 
 def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
-             point_cols: tuple[str, str] = ("lat", "lon")) -> DataFrame:
+             point_cols: tuple[str, str] = ("lat", "lon"),
+             salt: int | None = None, hot_threshold: int | None = None) -> DataFrame:
     """Cell-bucketed point-in-polygon join.
 
     points:   any DataFrame with lat/lon columns.
     polygons: (item, verts array<struct<lat,lon>>).
     Returns points columns + matching polygon ``item`` (inner; one row per
     (point, containing polygon) pair).
+
+    salt/hot_threshold: explicit mega-cell skew handling (north_rule). Cells
+    holding more than ``hot_threshold`` points get their point rows salted
+    into ``salt`` sub-keys and the polygon side replicated across the salts,
+    so one urban cell spreads over ``salt`` shuffle keys instead of pinning a
+    single task. (AQE skew-join splits oversized *partitions*; salting splits
+    oversized *keys* — both are on.) Results are identical with/without.
     """
-    from ..config import CELL_RES_BITS
+    from ..config import CELL_RES_BITS, MEGA_CELL_THRESHOLD
 
     bits = CELL_RES_BITS[res]
     lat_c, lon_c = F.col(point_cols[0]), F.col(point_cols[1])
@@ -96,11 +104,61 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
         .withColumn("_cy", F.explode(F.sequence(y0, y1)))
         .select("item", "verts", "_cx", "_cy")
     )
-    cand = pts.join(cov, (pts["_px"] == cov["_cx"]) & (pts["_py"] == cov["_cy"]))
+    if salt:
+        hot_threshold = hot_threshold or MEGA_CELL_THRESHOLD
+        hot = (
+            pts.groupBy("_px", "_py")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > hot_threshold)
+            .select(
+                F.col("_px").alias("_hx"), F.col("_py").alias("_hy"),
+                F.lit(True).alias("_hot"),
+            )
+        )
+        pts = (
+            pts.join(
+                F.broadcast(hot),
+                (pts["_px"] == F.col("_hx")) & (pts["_py"] == F.col("_hy")),
+                "left",
+            )
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.pmod(F.hash(lat_c, lon_c), F.lit(salt)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hx", "_hy", "_hot")
+        )
+        cov = (
+            cov.join(
+                F.broadcast(hot),
+                (cov["_cx"] == F.col("_hx")) & (cov["_cy"] == F.col("_hy")),
+                "left",
+            )
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_hot").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(salt - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_hx", "_hy", "_hot")
+        )
+        cand = pts.join(
+            cov,
+            (pts["_px"] == cov["_cx"]) & (pts["_py"] == cov["_cy"])
+            & (pts["_salt"] == cov["_salt"]),
+        )
+    else:
+        cand = pts.join(cov, (pts["_px"] == cov["_cx"]) & (pts["_py"] == cov["_cy"]))
     inside = RAY_CAST_SQL.format(
         verts="verts", plat=point_cols[0], plon=point_cols[1]
     )
-    return cand.filter(F.expr(inside)).drop("_px", "_py", "_cx", "_cy", "verts")
+    out = cand.filter(F.expr(inside)).drop("_px", "_py", "_cx", "_cy", "verts")
+    return out.drop("_salt") if salt else out
 
 
 def salt_hot_cells(df: DataFrame, cell_col: str, threshold: int, n_salt: int,

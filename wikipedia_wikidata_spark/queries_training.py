@@ -7,11 +7,13 @@ from pyspark.sql import functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # driver parquet = one file, one row group -> unsplittable single-task
+    # scan; spread the compute-heavy ops (hashing, shingling) across cores
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64, "doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(64, "vec_id")
 
 
 def q_dedup_exact(spark, sf_dir):

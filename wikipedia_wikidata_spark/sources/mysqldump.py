@@ -1,0 +1,143 @@
+"""mysqldump INSERT-statement source (S3 in SURVEY.md §2.1).
+
+The reference stream-parses `INSERT INTO ... VALUES (...),(...);` lines into
+CSV with a third-party row loop (bin/mysqldump_to_csv.py). This is an
+original, from-scratch implementation of the same grammar as a Spark source:
+``spark.read.text`` -> Arrow-batched ``mapInPandas`` state machine -> one row
+per VALUES tuple, fields as strings with SQL NULL -> null.
+
+Grammar handled (MySQL dump format):
+- multiple row tuples per statement: ``VALUES (a,b),(c,d);``
+- single-quoted strings with backslash escapes (\\' \\" \\\\ \\n \\r \\t \\0)
+  and doubled-quote escaping (``''``)
+- unquoted numerics, ``NULL`` (case-sensitive, as mysqldump emits)
+- parentheses/commas inside quoted strings
+
+At 100 TB one would land dumps once and convert to parquet with exactly this
+source, then never re-parse (the reference re-parses monthly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+_ESCAPES = {
+    "n": "\n", "r": "\r", "t": "\t", "0": "\0", "b": "\b", "Z": "\x1a",
+    "'": "'", '"': '"', "\\": "\\", "%": "\\%", "_": "\\_",
+}
+
+
+def parse_values(payload: str) -> list[list[str | None]]:
+    """Parse the text after ``VALUES`` into rows of fields (None = SQL NULL)."""
+    rows: list[list[str | None]] = []
+    cur: list[str | None] = []
+    buf: list[str] = []
+    i, n = 0, len(payload)
+    in_row = False
+    in_str = False
+    was_quoted = False
+
+    def end_field():
+        nonlocal buf, was_quoted
+        if not buf and not was_quoted:
+            cur.append(None)  # empty unquoted = absent; mysqldump emits NULL
+        else:
+            s = "".join(buf)
+            if not was_quoted and s == "NULL":
+                cur.append(None)
+            else:
+                cur.append(s)
+        buf = []
+        was_quoted = False
+
+    while i < n:
+        c = payload[i]
+        if in_str:
+            if c == "\\" and i + 1 < n:
+                nxt = payload[i + 1]
+                buf.append(_ESCAPES.get(nxt, nxt))
+                i += 2
+                continue
+            if c == "'":
+                if i + 1 < n and payload[i + 1] == "'":
+                    buf.append("'")
+                    i += 2
+                    continue
+                in_str = False
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+            continue
+        if c == "(" and not in_row:
+            in_row = True
+            cur = []
+            buf = []
+            was_quoted = False
+            i += 1
+            continue
+        if not in_row:
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            was_quoted = True
+            i += 1
+            continue
+        if c == ",":
+            end_field()
+            i += 1
+            continue
+        if c == ")":
+            end_field()
+            rows.append(cur)
+            in_row = False
+            i += 1
+            continue
+        if c not in " \t":
+            buf.append(c)
+        i += 1
+    return rows
+
+
+def parse_insert_line(line: str, table: str | None = None) -> list[list[str | None]]:
+    """Rows from one dump line, or [] if it is not an INSERT (for ``table``)."""
+    s = line.lstrip()
+    if not s.startswith("INSERT"):
+        return []
+    up = s
+    idx = up.find("VALUES")
+    if idx < 0:
+        return []
+    if table is not None:
+        head = up[:idx]
+        if f"`{table}`" not in head and f" {table} " not in head:
+            return []
+    return parse_values(up[idx + len("VALUES"):])
+
+
+def read_mysqldump(
+    spark: SparkSession, path: str, table: str | None = None
+) -> DataFrame:
+    """spark.read.text(dump) -> (fields array<string>) one row per tuple.
+
+    Fields are strings; SQL NULL -> null element. Callers project/cast with
+    ordinary expressions (extract.py-style), keeping Catalyst in charge.
+    """
+    schema = StructType([StructField("fields", ArrayType(StringType()))])
+    lines = spark.read.text(path)
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for line in pdf["value"]:
+                out.extend(parse_insert_line(line, table))
+            yield pd.DataFrame({"fields": out}) if out else pd.DataFrame(
+                {"fields": pd.Series([], dtype=object)}
+            )
+
+    return lines.mapInPandas(_parse, schema)

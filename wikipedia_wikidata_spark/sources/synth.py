@@ -38,7 +38,11 @@ from ..config import (
     UNLEVELED_PLACE_TYPES,
 )
 
-GENERATOR_VERSION = 8
+GENERATOR_VERSION = 9
+
+# Small row groups so Spark can split the single corpus file across tasks
+# (one giant row group = every scan stage is single-threaded).
+ROW_GROUP_SIZE = 16384
 
 LANG_WEIGHTS = {"en": 0.55, "de": 0.20, "bar": 0.15, "li": 0.10}
 LINKS_PER_PAGE = {"en": 12, "de": 6, "bar": 6, "li": 6}
@@ -414,7 +418,10 @@ def ensure_spans_data(sf_dir_or_sf) -> str:
     os.makedirs(out_dir, exist_ok=True)
     facts = synth_facts(sf)
     table = build_documents(facts)
-    pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(
+        table, os.path.join(out_dir, "documents.parquet"),
+        row_group_size=ROW_GROUP_SIZE,
+    )
     pq.write_table(
         pa.table({"lang": pa.array(LANGUAGES, pa.string())}),
         os.path.join(out_dir, "languages.parquet"),
