@@ -12,6 +12,11 @@ Each extractor cites the reference filter it models.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +59,50 @@ def spans_flat(docs: DataFrame) -> DataFrame:
         F.col("s.offset").alias("offset"),
         F.split("s.text", SEP, 3).alias("f"),
     )
+
+
+# Session-scoped kind-partitioned materialization of spans_flat. Ten-plus
+# views each re-scanning + exploding the full nested spans payload is the
+# dominant cost of the lineage-only path (kind predicates cannot be pushed
+# into a parquet array<struct>); writing the exploded table ONCE partitioned
+# by kind turns every extractor into a partition-pruned columnar scan — the
+# in-session analog of the staged pipeline's spans_flat checkpoint
+# (plans/pipeline.py) and of the reference's "any work done here cuts down
+# time/space in the database" pushdown (steps/wikipedia_sql2csv.sh:36-40).
+# Keyed by (applicationId, corpus dir) so the scaling bench's fresh
+# subprocesses each pay the write inside their own timed region (no
+# cross-process cache asymmetry between the N and 4N runs).
+_FLAT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_flat_cache() -> None:
+    for path in _FLAT_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(_cleanup_flat_cache)
+
+
+def shared_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spans_flat backed by a once-per-session kind-partitioned checkpoint."""
+    from ..sources.synth import ensure_spans_data
+
+    d = ensure_spans_data(sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(d))
+    path = _FLAT_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = tempfile.mkdtemp(prefix="wws_spans_flat_")
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        (
+            spans_flat(docs)
+            .drop("f")
+            .write.mode("overwrite")
+            .partitionBy("kind")
+            .parquet(path)
+        )
+        _FLAT_CACHE[key] = path
+    sp = spark.read.parquet(path)
+    return sp.withColumn("f", F.split("text", SEP, 3))
 
 
 def _clean_title(col):
@@ -209,6 +258,20 @@ def extract_views(
         from pyspark.storagelevel import StorageLevel
 
         sp = sp.persist(StorageLevel.MEMORY_AND_DISK)
+    return views_from_flat(sp, languages)
+
+
+def extract_views_shared(
+    spark: SparkSession, sf_dir: str, languages: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """All relational views over the session-shared spans_flat checkpoint —
+    one corpus scan+explode per session instead of one per view subtree."""
+    return views_from_flat(shared_spans_flat(spark, sf_dir), languages)
+
+
+def views_from_flat(
+    sp: DataFrame, languages: list[str] | None = None
+) -> dict[str, DataFrame]:
     return {
         "page": page_view(sp),
         "linktarget": linktarget_view(sp),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import IMPORTANCE_FLOOR, LANGUAGES, spans_dir_for
-from ..operators.extract import extract_views, load_documents
+from ..operators.extract import extract_views_shared
 
 
 def pagelink_counts(v: dict[str, DataFrame]) -> DataFrame:
@@ -262,13 +262,13 @@ def build_scored(
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Everything up to the scored article table; returns (scored, views)."""
     languages = languages or LANGUAGES
-    docs = load_documents(spark, sf_dir)
-    # NOTE: cache=True measured SLOWER here (88s vs 15s at sf0.1): persisting
-    # the exploded spans defeats parquet predicate/column pushdown per view
-    # and materializes the wide payload array. Re-scanning the columnar file
-    # wins; at real scale the kind-partitioned checkpoint (plans/pipeline.py)
-    # is the right sharing mechanism.
-    v = extract_views(docs, languages, cache=False)
+    # Views share one session-scoped kind-partitioned spans_flat checkpoint
+    # (operators/extract.py): the ~15 view subtrees become partition-pruned
+    # columnar scans instead of repeated full scan+explode of the nested
+    # payload. (persist() of the exploded table measured SLOWER — 88s vs 15s
+    # at sf0.1 — because it materializes the wide array and defeats pushdown;
+    # the parquet checkpoint keeps both.)
+    v = extract_views_shared(spark, sf_dir, languages)
     levels = spark.read.parquet(f"{spans_dir_for(sf_dir)}/place_type_levels.parquet")
     plc = pagelink_counts(v)
     oc = othercounts(v, plc)

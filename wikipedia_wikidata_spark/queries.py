@@ -15,12 +15,12 @@ from pyspark.sql import functions as F
 
 from . import oracle
 from .config import LANGUAGES, spans_dir_for
-from .operators.extract import extract_views, load_documents
+from .operators.extract import extract_views_shared, load_documents
 from .plans import importance as imp
 
 
 def _views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return extract_views(load_documents(spark, sf_dir), LANGUAGES)
+    return extract_views_shared(spark, sf_dir, LANGUAGES)
 
 
 def _levels(spark: SparkSession, sf_dir: str) -> DataFrame:
