@@ -139,6 +139,68 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
+NGRAM_N = 2          # word bigrams for the n-gram Jaccard pass
+JACCARD_T = 0.6      # near-dup threshold
+
+
+def ngram_jaccard_pairs(docs: DataFrame, t: float = JACCARD_T) -> DataFrame:
+    """All-pairs n-gram Jaccard near-dup via prefix filtering (PPJoin-lite).
+
+    Candidate generation is EXACT for Jaccard >= t (no LSH recall loss):
+    each doc's distinct word-bigram set is ordered by ascending global
+    document frequency (rarest first); two sets with Jaccard >= t must share
+    a token within their first |x| - ceil(t*|x|) + 1 tokens, so the self-join
+    runs only on those prefixes — the rare tokens — which bounds fanout per
+    token and sidesteps the hot-key blowup a naive token self-join has at
+    scale. Verification recomputes exact Jaccard on the full sets.
+    Output: (doc_a, doc_b, jaccard_e6) for pairs with jaccard >= t.
+    """
+    prof = docs.select(
+        "doc_id", F.array_distinct(shingles_col(F.col("text"), NGRAM_N)).alias("g")
+    ).filter(F.size("g") > 0)
+    tok = prof.select("doc_id", F.explode("g").alias("gram"))
+    dfreq = tok.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "gram"))),
+                lambda x: x["gram"],
+            ).alias("toks")
+        )
+    )
+    n = F.size("toks")
+    plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    pref = ordered.select(
+        "doc_id", F.explode(F.slice("toks", F.lit(1), plen)).alias("gram")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "gram")
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    j = (
+        cand.join(prof.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("_ga")), "doc_a")
+        .join(prof.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("_gb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = (F.size("_ga") + F.size("_gb") - F.size(F.array_intersect("_ga", "_gb"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("_jac", jac)
+        .filter(F.col("_jac") >= t)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("_jac") * 1000000.0 + 0.5).cast("bigint").alias("jaccard_e6"),
+        )
+    )
+
+
 SIMHASH_BITS = 32
 
 

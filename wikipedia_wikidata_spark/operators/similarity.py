@@ -77,6 +77,50 @@ def cosine_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = 10) -> DataFram
     )
 
 
+NEAR_DUP_T = 0.9
+
+
+def augment_emb(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ exact dups (vec_id+10^6, every 10th) ∪ near dups
+    (vec_id+2*10^6, every 7th, first component +0.05) — planted pairs so the
+    near-dup op is provably exercised; mirrored in the DuckDB oracle.
+    All vectors cast to array<double> (both engines) before any math."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    exact = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "emb_d"
+    )
+    pert = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb_d", 1) + F.lit(0.05)),
+            F.slice("emb_d", 2, DIM - 1),
+        ).alias("emb_d"),
+    )
+    return base.unionByName(exact).unionByName(pert)
+
+
+def emb_near_dup(emb: DataFrame, t: float = NEAR_DUP_T) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking (equi-join
+    on bucket id — broadcastable/AQE-replannable at scale) then exact cosine
+    within bucket, thresholded at t. Output (vec_a, vec_b, cosine_e6)."""
+    b = with_lsh_bucket(augment_emb(emb), vec_col="emb_d")
+    qa = b.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("_ea"), "lsh_bucket")
+    qb = b.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("_eb"), "lsh_bucket")
+    j = qa.join(qb, "lsh_bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (_norm(F.col("_ea")) * _norm(F.col("_eb")))
+    return (
+        j.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= t)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.col("_cos") * 1000000.0 + 0.5).cast("bigint").alias("cosine_e6"),
+        )
+    )
+
+
 def ann_lsh_topk(emb: DataFrame, k: int = 3) -> DataFrame:
     """LSH-bucketed approximate top-k: exact cosine re-rank within bucket."""
     b = with_lsh_bucket(emb.select("vec_id", "embedding"))

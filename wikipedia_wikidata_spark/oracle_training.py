@@ -94,6 +94,78 @@ shd AS (SELECT doc_id, list_distinct(_sh) AS s FROM shingled)
 """
 
 
+def ngram_jaccard_sql(t: float = 0.6) -> str:
+    """Prefix-filtered all-pairs word-bigram Jaccard (mirrors
+    operators/dedup.py ngram_jaccard_pairs expression-for-expression)."""
+    return f"""WITH {AUG},
+prof AS (
+  SELECT doc_id, list_distinct({shingles_sql(words_sql('text'), 2)}) AS g FROM aug
+),
+prof2 AS (SELECT doc_id, g FROM prof WHERE len(g) > 0),
+tok AS (SELECT doc_id, unnest(g) AS gram FROM prof2),
+dfreq AS (SELECT gram, count(*) AS df FROM tok GROUP BY gram),
+ordered AS (
+  SELECT doc_id, list(gram ORDER BY df, gram) AS toks
+  FROM tok JOIN dfreq USING (gram) GROUP BY doc_id
+),
+pref AS (
+  SELECT doc_id,
+         unnest(toks[1:CAST(len(toks) - ceil({t} * len(toks)) + 1 AS INT)]) AS gram
+  FROM ordered
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(pa.g, pb.g)) AS DOUBLE) /
+         CAST(len(pa.g) + len(pb.g) - len(list_intersect(pa.g, pb.g)) AS DOUBLE) AS _jac
+  FROM cand
+  JOIN prof2 pa ON cand.doc_a = pa.doc_id
+  JOIN prof2 pb ON cand.doc_b = pb.doc_id
+)
+SELECT doc_a, doc_b, CAST(floor(_jac * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
+FROM v WHERE _jac >= {t}"""
+
+
+def emb_near_dup_sql(t: float = 0.9) -> str:
+    """LSH-blocked embedding-cosine near-dup pairs with planted dups
+    (mirrors operators/similarity.py augment_emb + emb_near_dup)."""
+    from .operators.similarity import plane_weights
+
+    w = plane_weights()
+    terms = []
+    for p in range(N_PLANES):
+        arr = "[" + ", ".join(repr(float(x)) for x in w[p]) + "]"
+        proj = dot_sql("emb_d", f"({arr})")
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = " + ".join(terms)
+    dot = dot_sql("a.emb_d", "b2.emb_d")
+    na = f"sqrt({dot_sql('a.emb_d', 'a.emb_d')})"
+    nb = f"sqrt({dot_sql('b2.emb_d', 'b2.emb_d')})"
+    return f"""WITH base AS (
+  SELECT vec_id, {_emb_d()} AS emb_d FROM embeddings
+),
+aug AS (
+  SELECT vec_id, emb_d FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, emb_d FROM base WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 2000000, [emb_d[1] + 0.05] || emb_d[2:{DIM}] FROM base WHERE vec_id % 7 = 0
+),
+b AS (SELECT vec_id, emb_d, {bucket} AS lsh_bucket FROM aug),
+j AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         {dot} / ({na} * {nb}) AS _cos
+  FROM b a JOIN b b2 USING (lsh_bucket) WHERE a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b, CAST(floor(_cos * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
+FROM j WHERE _cos >= {t}"""
+
+
 def simhash_sql() -> str:
     aggs = ",\n         ".join(
         f"SUM(CASE WHEN (_h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS _b{b}"
@@ -251,6 +323,8 @@ FROM pairs p
 JOIN shd sa ON p.doc_a = sa.doc_id
 JOIN shd sb ON p.doc_b = sb.doc_id""",
     "dedup_simhash": simhash_sql(),
+    "dedup_ngram_jaccard": ngram_jaccard_sql(),
+    "emb_near_dup": emb_near_dup_sql(),
     "emb_cosine_topk": cosine_topk_sql(),
     "emb_ann_lsh": ann_lsh_sql(),
     "text_lang_id": lang_id_sql(),

@@ -34,6 +34,18 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(augment_docs(_docs(spark, sf_dir)))
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import augment_docs, ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(augment_docs(_docs(spark, sf_dir)))
+
+
+def q_emb_near_dup(spark, sf_dir):
+    from .operators.similarity import emb_near_dup
+
+    return emb_near_dup(_emb(spark, sf_dir))
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from .operators.similarity import cosine_topk
 
@@ -166,6 +178,8 @@ TRAINING_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "emb_near_dup": q_emb_near_dup,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh": q_emb_ann_lsh,
     "text_lang_id": q_text_lang_id,
