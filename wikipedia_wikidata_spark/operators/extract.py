@@ -231,16 +231,20 @@ def places_view(sp: DataFrame) -> DataFrame:
 
 def polygons_view(sp: DataFrame) -> DataFrame:
     """Target-extension polygons: place_item \\x1f n \\x1f 'lat:lon,lat:lon,...'."""
+    # try_element_at / try_cast, not [] / cast: predicates derived from
+    # vertex values (e.g. the PIP bbox) are pushable and Catalyst may
+    # evaluate them before the kind filter, where other kinds' payloads
+    # (fewer fields, non-numeric tokens) would make ANSI access/cast throw.
     v = sp.filter(F.col("kind") == "place_polygon").select(
-        F.col("f")[0].alias("item"),
-        F.col("f")[1].cast("int").alias("n_vertices"),
-        F.col("f")[2].alias("verts_str"),
+        F.try_element_at("f", F.lit(1)).alias("item"),
+        F.try_element_at("f", F.lit(2)).try_cast("int").alias("n_vertices"),
+        F.try_element_at("f", F.lit(3)).alias("verts_str"),
     )
     vert = F.transform(
         F.split("verts_str", ","),
         lambda p: F.struct(
-            F.split_part(p, F.lit(":"), F.lit(1)).cast("double").alias("lat"),
-            F.split_part(p, F.lit(":"), F.lit(2)).cast("double").alias("lon"),
+            F.split_part(p, F.lit(":"), F.lit(1)).try_cast("double").alias("lat"),
+            F.split_part(p, F.lit(":"), F.lit(2)).try_cast("double").alias("lon"),
         ),
     )
     return v.select("item", "n_vertices", vert.alias("verts"))

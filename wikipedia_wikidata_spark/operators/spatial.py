@@ -21,7 +21,7 @@ Design (SURVEY.md §4 "custom work"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cells import xy_cols
@@ -55,6 +55,36 @@ RAY_CAST_SQL = """
                  + element_at({verts}, i + 1).lon
 )) % 2) = 1
 """
+
+# Edge-list form of the same ray cast: edges are prepared ONCE per polygon
+# (the "prepared geometry" of the north_star) so the 10^7-pair hot loop does
+# no per-row sequence/filter array allocation and no element_at indexing —
+# higher-order lambdas are interpreted (not codegen'd), so per-element work
+# dominates; this form measured ~2x faster at sf1. The arithmetic is
+# token-identical to RAY_CAST_SQL / the DuckDB oracle, so results stay
+# bit-equal.
+RAY_CAST_EDGES_SQL = """
+(aggregate({edges}, 0,
+  (acc, e) -> acc + IF((e.y1 > {plat}) != (e.y2 > {plat})
+    AND {plon} < (e.x2 - e.x1) * ({plat} - e.y1) / (e.y2 - e.y1) + e.x1,
+    1, 0)) % 2) = 1
+"""
+
+
+def edges_col(verts) -> Column:
+    """verts -> closed edge list [(y1,x1,y2,x2)] (vertex i paired with i+1,
+    last wrapping to first)."""
+    rotated = F.concat(
+        F.slice(verts, F.lit(2), F.size(verts) - 1), F.slice(verts, F.lit(1), F.lit(1))
+    )
+    return F.zip_with(
+        verts,
+        rotated,
+        lambda a, b: F.struct(
+            a["lat"].alias("y1"), a["lon"].alias("x1"),
+            b["lat"].alias("y2"), b["lon"].alias("x2"),
+        ),
+    )
 
 
 def duckdb_ray_cast_sql(verts: str, plat: str, plon: str) -> str:
@@ -94,7 +124,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
     px, py = xy_cols(lat_c, lon_c, bits)
     pts = points.withColumn("_px", px).withColumn("_py", py)
 
-    poly = polygons_with_bbox(polygons)
+    poly = polygons_with_bbox(polygons).withColumn("edges", edges_col(F.col("verts")))
     x0, _ = xy_cols(F.col("min_lat"), F.col("min_lon"), bits)
     x1, _ = xy_cols(F.col("min_lat"), F.col("max_lon"), bits)
     _, y0 = xy_cols(F.col("min_lat"), F.col("min_lon"), bits)
@@ -102,7 +132,10 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
     cov = (
         poly.withColumn("_cx", F.explode(F.sequence(x0, x1)))
         .withColumn("_cy", F.explode(F.sequence(y0, y1)))
-        .select("item", "verts", "_cx", "_cy")
+        .select(
+            "item", "edges", "_cx", "_cy",
+            "min_lat", "max_lat", "min_lon", "max_lon",
+        )
     )
     if salt:
         hot_threshold = hot_threshold or MEGA_CELL_THRESHOLD
@@ -154,10 +187,22 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
         )
     else:
         cand = pts.join(cov, (pts["_px"] == cov["_cx"]) & (pts["_py"] == cov["_cy"]))
-    inside = RAY_CAST_SQL.format(
-        verts="verts", plat=point_cols[0], plon=point_cols[1]
+    # cheap bbox rejection BEFORE the ray cast: a shared cell pairs a point
+    # with every polygon overlapping that cell (10^7+ candidates in dense
+    # regions); four double compares eliminate most pairs so the per-vertex
+    # ray-cast loop runs only on bbox hits. Never drops a true containment
+    # (inside polygon => inside bbox).
+    bbox_hit = (
+        (lat_c >= F.col("min_lat")) & (lat_c <= F.col("max_lat"))
+        & (lon_c >= F.col("min_lon")) & (lon_c <= F.col("max_lon"))
     )
-    out = cand.filter(F.expr(inside)).drop("_px", "_py", "_cx", "_cy", "verts")
+    inside = RAY_CAST_EDGES_SQL.format(
+        edges="edges", plat=point_cols[0], plon=point_cols[1]
+    )
+    out = cand.filter(bbox_hit).filter(F.expr(inside)).drop(
+        "_px", "_py", "_cx", "_cy", "edges",
+        "min_lat", "max_lat", "min_lon", "max_lon",
+    )
     return out.drop("_salt") if salt else out
 
 
@@ -194,8 +239,11 @@ def knn_nearest(points: DataFrame, places: DataFrame,
     """
     # start fine so dense (urban mega-cell) regions resolve with small
     # neighborhoods; sparse regions cascade coarser. Level 0 = brute force
-    # for the stragglers only.
-    levels = levels or [10, 7, 4, 0]
+    # for the stragglers only. Starting at 13 (vs 10) cuts the dense-region
+    # candidate-pair count ~64x (measured 71s -> 12s at sf1): with urban
+    # clustering a level-10 3x3 neighborhood pairs nearly every city point
+    # with every city place.
+    levels = levels or [13, 10, 7, 4, 0]
     point_keys = point_keys or ["language", "title"]
     assert levels[-1] == 0, "last level must be global"
 
@@ -231,8 +279,24 @@ def knn_nearest(points: DataFrame, places: DataFrame,
         dlat = F.col("lat") - F.col("g_lat")
         dlon = F.col("lon") - F.col("g_lon")
         cand = cand.withColumn("_d2", dlat * dlat + dlon * dlon)
-        w = Window.partitionBy(*point_keys).orderBy("_d2", "g_item")
-        best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        # top-1 via lexicographic struct MIN, not a ranking window: dense
+        # (mega-cell) regions generate 10^7-10^8 candidate pairs, and a window
+        # must shuffle+sort ALL of them; min(struct) partial-aggregates
+        # map-side so the shuffle carries at most one row per (point,
+        # map-task). Ordering (_d2, g_item) is the window's orderBy; the pair
+        # is unique per candidate so the pick is deterministic.
+        payload = F.struct(
+            F.col("_d2"), F.col("g_item"), F.col("g_lat"), F.col("g_lon")
+        )
+        best = (
+            cand.groupBy(*point_keys, "lat", "lon")
+            .agg(F.min(payload).alias("_b"))
+            .select(
+                *point_keys, "lat", "lon",
+                F.col("_b._d2").alias("_d2"),
+                F.col("_b.g_item").alias("g_item"),
+            )
+        )
         # persist per level: without it the cascading remaining/accepted
         # lineage recomputes every earlier level (exponential blowup)
         best = best.persist()
