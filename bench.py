@@ -53,11 +53,11 @@ def spatial_job(spark, sf_dir):
     )
     ep = ep.withColumn("cell_r7", make_cell_udf(7)(F.col("lat"), F.col("lon")))
     ep = ep.withColumn("s2", make_morton_udf()(F.col("lat"), F.col("lon")))
-    ep.persist().count()  # one materializing action; downstream reuse
+    ep.persist()  # materialized by the first consumer; no extra count() job
     _noop(pip_join(ep, v["polygons"].select("item", "verts"), res=5))
     places = v["wikidata_places"].filter(F.col("lat").isNotNull()).select("item", "lat", "lon")
     places.persist()
-    _noop(knn_nearest(ep, places))
+    _noop(knn_nearest(ep, places, levels=[13, 7, 0]))
     _noop(tile_importance(ep))
     ep.unpersist()
     places.unpersist()
@@ -74,7 +74,7 @@ def run_bench(master: str, sf_dir: str) -> dict:
         f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
     ).fetchone()[0]
 
-    spark = get_spark("wws-bench", master=master)
+    spark = get_spark("wws-bench", master=master, aqe=False)
     try:
         from wikipedia_wikidata_spark.plans.importance import run_importance
         from wikipedia_wikidata_spark.queries_training import (
@@ -156,7 +156,7 @@ def main():
         n_docs = duckdb.connect().execute(
             f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
         ).fetchone()[0]
-        spark = get_spark("wws-scaling", master=master, shuffle_partitions=32)
+        spark = get_spark("wws-scaling", master=master, shuffle_partitions=32, aqe=False)
         try:
             spatial_job(spark, "/root/testdata/sf0.001")  # warm codegen/UDFs
             t0 = time.time()

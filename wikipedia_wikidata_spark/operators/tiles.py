@@ -69,6 +69,102 @@ def tile_importance(points: DataFrame, zooms: list[int] | None = None) -> DataFr
     )
 
 
+# ------------------------------------------------------- raster <-> vector
+
+PI = float(np.pi)
+DEG_PER_RAD = 180.0 / float(np.pi)
+
+
+def _inv_mercator_lat(y, n):
+    """lat(y) = atan(sinh(pi * (1 - 2*y/n))) in degrees; sinh spelled via exp
+    so the DuckDB oracle can use the token-identical expression."""
+    z = F.lit(PI) * (F.lit(1.0) - F.lit(2.0) * y / n)
+    sinh = (F.exp(z) - F.exp(-z)) / F.lit(2.0)
+    return F.atan(sinh) * F.lit(DEG_PER_RAD)
+
+
+def _inv_mercator_lat_sql(y_expr: str, n_expr: str) -> str:
+    z = f"({PI!r} * (1.0 - 2.0 * {y_expr} / {n_expr}))"
+    sinh = f"((exp({z}) - exp(-{z})) / 2.0)"
+    return f"(atan({sinh}) * {DEG_PER_RAD!r})"
+
+
+def tile_cell_cover(tiles: DataFrame, res: int) -> DataFrame:
+    """Raster -> vector grid: the H3-analog cells covering each mercator tile.
+
+    x is EXACT integer refinement (both grids halve longitude at each level:
+    cell columns per tile = 2^(bits - zoom)); y crosses projections
+    (mercator tile rows vs equirectangular cell rows) via the inverse
+    mercator on the tile's lat bounds. Input (zoom, tile_x, tile_y);
+    output one row per covering cell with its packed cell_id.
+    """
+    from ..config import CELL_RES_BITS
+
+    bits = CELL_RES_BITS[res]
+    nb = 1 << bits
+    fac = F.pow(F.lit(2.0), (F.lit(bits) - F.col("zoom"))).cast("long")
+    n = F.pow(F.lit(2.0), F.col("zoom")).cast("double")
+    lat_bottom = _inv_mercator_lat((F.col("tile_y") + 1).cast("double"), n)
+    lat_top = _inv_mercator_lat(F.col("tile_y").cast("double"), n)
+    y0 = F.least(
+        F.greatest(F.floor((lat_bottom + F.lit(90.0)) / F.lit(180.0) * F.lit(float(nb))), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("long")
+    y1 = F.least(
+        F.greatest(F.floor((lat_top + F.lit(90.0)) / F.lit(180.0) * F.lit(float(nb))), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("long")
+    t = tiles.select(
+        "zoom", "tile_x", "tile_y",
+        (F.col("tile_x") * fac).alias("_cx0"),
+        ((F.col("tile_x") + 1) * fac - 1).alias("_cx1"),
+        y0.alias("_cy0"), y1.alias("_cy1"),
+    )
+    c = t.withColumn("_cx", F.explode(F.sequence("_cx0", "_cx1"))).withColumn(
+        "_cy", F.explode(F.sequence("_cy0", "_cy1"))
+    )
+    cell = (
+        F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+        + F.col("_cx") * F.lit(1 << 29).cast("long")
+        + F.col("_cy")
+    )
+    return c.select("zoom", "tile_x", "tile_y", cell.alias("cell_id"))
+
+
+def cell_vector(cells: DataFrame, res: int, cell_col: str = "cell_id") -> DataFrame:
+    """Vectorize grid cells: packed cell_id -> geographic bbox + WKT polygon
+    (the raster->vector half of the north_rule's 'raster<->vector')."""
+    from ..config import CELL_RES_BITS
+
+    bits = CELL_RES_BITS[res]
+    n = float(1 << bits)
+    # integer-exact decode (shift/mask, NOT float division: cell ids exceed
+    # 2^53 so a double quotient would corrupt low bits)
+    x = F.shiftright(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    y = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+    d = cells.withColumn("_x", x.cast("double")).withColumn("_y", y.cast("double"))
+    lon0 = F.col("_x") / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    lon1 = (F.col("_x") + 1) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    lat0 = F.col("_y") / F.lit(n) * F.lit(180.0) - F.lit(90.0)
+    lat1 = (F.col("_y") + 1) / F.lit(n) * F.lit(180.0) - F.lit(90.0)
+    wkt = F.concat_ws(
+        "",
+        F.lit("POLYGON(("),
+        lon0.cast("string"), F.lit(" "), lat0.cast("string"), F.lit(","),
+        lon1.cast("string"), F.lit(" "), lat0.cast("string"), F.lit(","),
+        lon1.cast("string"), F.lit(" "), lat1.cast("string"), F.lit(","),
+        lon0.cast("string"), F.lit(" "), lat1.cast("string"), F.lit(","),
+        lon0.cast("string"), F.lit(" "), lat0.cast("string"),
+        F.lit("))"),
+    )
+    return d.select(
+        F.col(cell_col),
+        lat0.alias("min_lat"), lon0.alias("min_lon"),
+        lat1.alias("max_lat"), lon1.alias("max_lon"),
+        wkt.alias("wkt"),
+    )
+
+
 def tile_sql(zoom_expr: str, lat_expr: str, lon_expr: str) -> tuple[str, str]:
     """DuckDB (tile_x, tile_y) expressions mirroring with_tile()."""
     n = f"CAST(pow(2.0, {zoom_expr}) AS DOUBLE)"

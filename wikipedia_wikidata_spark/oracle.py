@@ -295,7 +295,74 @@ FROM entity_points p
 CROSS JOIN (SELECT unnest([4, 6, 8, 10]) AS zoom) z
 GROUP BY 1, 2, 3"""
         ),
+        "tile_cell_cover": _tile_cell_cover_oracle(),
+        "cell_vector": _cell_vector_oracle(),
     }
+
+
+def _tile_cell_cover_oracle(res: int = 5, zoom: int = 8) -> str:
+    """Mirrors operators/tiles.py tile_cell_cover: exact integer x-refinement,
+    inverse-mercator y bounds (token-identical float expression)."""
+    from .config import CELL_RES_BITS
+    from .operators.tiles import _inv_mercator_lat_sql, tile_sql
+
+    bits = CELL_RES_BITS[res]
+    nb = 1 << bits
+    tx, ty = tile_sql("z.zoom", "p.lat", "p.lon")
+    n = "CAST(pow(2.0, t.zoom) AS DOUBLE)"
+    lat_b = _inv_mercator_lat_sql("CAST(t.tile_y + 1 AS DOUBLE)", n)
+    lat_t = _inv_mercator_lat_sql("CAST(t.tile_y AS DOUBLE)", n)
+    y0 = (
+        f"least(greatest(CAST(floor(({lat_b} + 90.0) / 180.0 * {float(nb)}) AS BIGINT), 0), {nb - 1})"
+    )
+    y1 = (
+        f"least(greatest(CAST(floor(({lat_t} + 90.0) / 180.0 * {float(nb)}) AS BIGINT), 0), {nb - 1})"
+    )
+    fac = f"CAST(pow(2.0, {bits} - t.zoom) AS BIGINT)"
+    return q(
+        f"""SELECT zoom, tile_x, tile_y,
+       (CAST({res} AS BIGINT) * {1 << 58} + cx * {1 << 29} + unnest(range(y0, y1 + 1))) AS cell_id
+FROM (
+  SELECT zoom, tile_x, tile_y, y0, y1,
+         unnest(range(tile_x * fac, (tile_x + 1) * fac)) AS cx
+  FROM (
+    SELECT t.zoom, t.tile_x, t.tile_y, {fac} AS fac, {y0} AS y0, {y1} AS y1
+    FROM (
+      SELECT DISTINCT z.zoom, {tx} AS tile_x, {ty} AS tile_y
+      FROM entity_points p CROSS JOIN (SELECT unnest([{zoom}]) AS zoom) z
+    ) t
+  )
+)"""
+    )
+
+
+def _cell_vector_oracle(res: int = 5) -> str:
+    """Mirrors operators/tiles.py cell_vector (integer shift/mask decode)."""
+    from .config import CELL_RES_BITS
+    from .functions.cells import cell_sql
+
+    bits = CELL_RES_BITS[res]
+    n = float(1 << bits)
+    x = f"CAST((cell_id >> 29) & {(1 << 29) - 1} AS DOUBLE)"
+    y = f"CAST(cell_id & {(1 << 29) - 1} AS DOUBLE)"
+    lon0 = f"({x} / {n!r} * 360.0 - 180.0)"
+    lon1 = f"(({x} + 1) / {n!r} * 360.0 - 180.0)"
+    lat0 = f"({y} / {n!r} * 180.0 - 90.0)"
+    lat1 = f"(({y} + 1) / {n!r} * 180.0 - 90.0)"
+    wkt = (
+        f"concat('POLYGON((', CAST({lon0} AS VARCHAR), ' ', CAST({lat0} AS VARCHAR), ',', "
+        f"CAST({lon1} AS VARCHAR), ' ', CAST({lat0} AS VARCHAR), ',', "
+        f"CAST({lon1} AS VARCHAR), ' ', CAST({lat1} AS VARCHAR), ',', "
+        f"CAST({lon0} AS VARCHAR), ' ', CAST({lat1} AS VARCHAR), ',', "
+        f"CAST({lon0} AS VARCHAR), ' ', CAST({lat0} AS VARCHAR), '))')"
+    )
+    return q(
+        f"""SELECT cell_id,
+       {lat0} AS min_lat, {lon0} AS min_lon,
+       {lat1} AS max_lat, {lon1} AS max_lon,
+       {wkt} AS wkt
+FROM (SELECT DISTINCT {cell_sql('lat', 'lon', res)} AS cell_id FROM entity_points)"""
+    )
 
 
 ORACLES: dict[str, str] = {

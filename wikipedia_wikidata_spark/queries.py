@@ -214,6 +214,28 @@ def q_tile_importance(spark, sf_dir):
     )
 
 
+def q_tile_cell_cover(spark, sf_dir):
+    """Raster->vector grid: cells (res 5) covering each zoom-8 importance
+    tile — the tile->cell-list half of the north_rule's raster<->vector."""
+    from .operators.tiles import tile_cell_cover, tile_importance
+
+    ep = imp.entity_points(spark, sf_dir)
+    tiles = tile_importance(ep, zooms=[8]).select("zoom", "tile_x", "tile_y")
+    return tile_cell_cover(tiles, res=5)
+
+
+def q_cell_vector(spark, sf_dir):
+    """Vectorize occupied res-5 cells into bbox + WKT polygons."""
+    from .operators.tiles import cell_vector
+    from .functions.cells import cell_id_col
+
+    ep = imp.entity_points(spark, sf_dir)
+    cells = ep.select(
+        cell_id_col(F.col("lat"), F.col("lon"), 5).alias("cell_id")
+    ).dropDuplicates()
+    return cell_vector(cells, res=5)
+
+
 def q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import media_features, media_table
 
@@ -258,6 +280,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_join_pip": q_spatial_join_pip,
     "knn_nearest_place": q_knn_nearest_place,
     "tile_importance": q_tile_importance,
+    "tile_cell_cover": q_tile_cell_cover,
+    "cell_vector": q_cell_vector,
     "multimodal_features": q_multimodal_features,
 }
 

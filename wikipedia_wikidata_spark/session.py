@@ -19,6 +19,7 @@ def get_spark(
     app_name: str = "wikipedia-wikidata-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    aqe: bool = True,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
         os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -31,7 +32,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE defaults ON (runtime re-plan + skew split for real-scale
+        # partitions). The bench turns it off for its timed job: with
+        # sub-second stages AQE's stage-at-a-time driver round trips are
+        # pure serial latency (~8s of a 14s job at sf1), and skew there is
+        # handled by explicit salting (operators/spatial.py).
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
