@@ -21,16 +21,25 @@ def get_spark(
     shuffle_partitions: int | None = None,
     aqe: bool = True,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
-        os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    # master="" means "do not set": under spark-submit the master/deploy mode
+    # come from the launcher (north_rule: spark-submit --py-files at N and 4N
+    # executors) and must not be overridden here.
+    if master != "":
+        master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
     if shuffle_partitions is None:
         # local[N] -> N; a real cluster would use 2-3x total cores or AQE.
         n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        try:
+            shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        except ValueError:
+            shuffle_partitions = 32
+    builder = SparkSession.builder.appName(app_name)
+    if master != "":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE defaults ON (runtime re-plan + skew split for real-scale
         # partitions). The bench turns it off for its timed job: with
