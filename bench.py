@@ -81,6 +81,12 @@ def run_bench(master: str, sf_dir: str) -> dict:
             q_dedup_minhash_lsh, q_emb_cosine_topk,
         )
 
+        # warm codegen/Python-UDF workers on the tiny corpus so the timed
+        # region measures the job, not JIT (same protocol as --scaling)
+        if os.path.normpath(sf_dir) != "/root/testdata/sf0.001":
+            _noop(run_importance(spark, "/root/testdata/sf0.001"))
+            spatial_job(spark, "/root/testdata/sf0.001")
+
         queries = {}
         t0 = time.time()
         _noop(run_importance(spark, sf_dir))
