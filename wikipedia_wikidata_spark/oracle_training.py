@@ -338,6 +338,12 @@ FROM documents""",
        {hash60_sql("lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g'))")} AS fingerprint60,
        md5(text) AS content_md5
 FROM documents""",
+    "streaming_tumbling": """SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 * 1000000
+         AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(SUM(value) * 1000000.0 + 0.5) AS BIGINT) AS value_sum_e6
+FROM events GROUP BY 1, 2""",
     "events_tumbling": """SELECT event_type,
        CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -236,6 +236,84 @@ def q_cell_vector(spark, sf_dir):
     return cell_vector(cells, res=5)
 
 
+def q_streaming_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling-window agg drained with
+    Trigger.AvailableNow — equals the batch query on a closed input, so the
+    batch SQL doubles as its oracle (streaming/events.py)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_stream_available_now
+
+    # the file stream source wants a directory; expose the single driver
+    # parquet file through a temp dir symlink
+    d = tempfile.mkdtemp(prefix="wws_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    name = "stream_" + uuid.uuid4().hex[:8]
+    return run_stream_available_now(spark, d, name)
+
+
+def q_spans_roundtrip(spark, sf_dir):
+    """input_hint invariant: explode -> re-aggregate preserves the span
+    sequence (kind, text, media_ref, order) per document. No SQL oracle
+    (array-of-struct equality); the driver's rows-only check sees one row
+    per doc with roundtrip_ok."""
+    from .operators.extract import load_documents, reassemble_spans
+
+    docs = load_documents(spark, sf_dir)
+    re = reassemble_spans(docs).select(
+        "doc_id", F.col("spans").alias("re_spans")
+    )
+    j = docs.join(re, "doc_id")
+    ordered = F.array_sort(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("offset"), s["kind"].alias("kind"),
+                s["text"].alias("text"), s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    re_ordered = F.transform(
+        "re_spans",
+        lambda s: F.struct(
+            s["offset"].alias("offset"), s["kind"].alias("kind"),
+            s["text"].alias("text"), s["media_ref"].alias("media_ref"),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        (ordered == re_ordered).alias("roundtrip_ok"),
+    )
+
+
+def q_checkpoint_lineage(spark, sf_dir):
+    """Run the staged checkpoint/resume pipeline and surface its
+    per-stage lineage manifests (north_rule: 'per-partition lineage +
+    metrics') as rows. No SQL oracle (the pipeline is not a query)."""
+    import shutil
+    import tempfile
+
+    from .plans.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="wws_lineage_")
+    try:
+        report = run_pipeline(spark, sf_dir, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = [
+        (stage, int(m.get("rows", 0)), int(m.get("n_partitions", 0)))
+        for stage, m in report.items()
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, rows bigint, n_partitions bigint"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import media_features, media_table
 
@@ -283,6 +361,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_cell_cover": q_tile_cell_cover,
     "cell_vector": q_cell_vector,
     "multimodal_features": q_multimodal_features,
+    "streaming_tumbling": q_streaming_tumbling,
+    "spans_roundtrip": q_spans_roundtrip,
+    "checkpoint_lineage": q_checkpoint_lineage,
 }
 
 
