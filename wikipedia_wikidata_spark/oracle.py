@@ -247,6 +247,37 @@ FROM (SELECT doc_id, media_ref FROM spans WHERE kind = 'media')"""
     )
 
 
+def _media_resize_oracle() -> str:
+    b0, b1 = _hexpair_sql("media_ref", 0), _hexpair_sql("media_ref", 1)
+    w, h = f"(256 + {b0} * 4)", f"(256 + {b1} * 4)"
+    mx = f"greatest({w}, {h})"
+    rw, rh = f"(({w} * 128) // {mx})", f"(({h} * 128) // {mx})"
+    return q(
+        f"""SELECT doc_id, media_ref,
+       CAST({w} AS INTEGER) AS width,
+       CAST({h} AS INTEGER) AS height,
+       CAST({rw} AS INTEGER) AS resized_w,
+       CAST({rh} AS INTEGER) AS resized_h,
+       md5(concat(media_ref, ':', CAST({rw} AS VARCHAR), 'x', CAST({rh} AS VARCHAR)))
+         AS resized_md5
+FROM (SELECT doc_id, media_ref FROM spans WHERE kind = 'media')"""
+    )
+
+
+def _media_frame_sample_oracle(step: int = 2) -> str:
+    b2 = _hexpair_sql("media_ref", 2)
+    n = f"(1 + {b2} % 8)"
+    return q(
+        f"""SELECT doc_id, media_ref,
+       CAST(fi AS INTEGER) AS frame_idx,
+       md5(concat(media_ref, ':', CAST(fi AS VARCHAR))) AS frame_md5
+FROM (
+  SELECT doc_id, media_ref, unnest(range(0, {n}, {step})) AS fi
+  FROM (SELECT doc_id, media_ref FROM spans WHERE kind = 'media')
+)"""
+    )
+
+
 def _spatial_oracles() -> dict[str, str]:
     from .functions.cells import cell_sql, morton_sql
     from .operators.spatial import duckdb_ray_cast_sql
@@ -401,6 +432,8 @@ ORACLES: dict[str, str] = {
 }
 ORACLES.update(_spatial_oracles())
 ORACLES["multimodal_features"] = _multimodal_oracle()
+ORACLES["media_resize"] = _media_resize_oracle()
+ORACLES["media_frame_sample"] = _media_frame_sample_oracle()
 
 
 def sanity_check_levels() -> None:

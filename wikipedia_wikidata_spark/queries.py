@@ -236,6 +236,21 @@ def q_cell_vector(spark, sf_dir):
     return cell_vector(cells, res=5)
 
 
+def q_media_resize(spark, sf_dir):
+    """Arrow-batched aspect-fit resize over binary media payloads
+    (operators/multimodal.py; pixel work stubbed, plumbing real)."""
+    from .operators.multimodal import media_resize, media_table
+
+    return media_resize(media_table(load_documents(spark, sf_dir)))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Row-expanding frame sampling (every 2nd frame) via mapInPandas."""
+    from .operators.multimodal import media_frame_sample, media_table
+
+    return media_frame_sample(media_table(load_documents(spark, sf_dir)))
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window agg drained with
     Trigger.AvailableNow — equals the batch query on a closed input, so the
@@ -361,6 +376,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_cell_cover": q_tile_cell_cover,
     "cell_vector": q_cell_vector,
     "multimodal_features": q_multimodal_features,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
     "streaming_tumbling": q_streaming_tumbling,
     "spans_roundtrip": q_spans_roundtrip,
     "checkpoint_lineage": q_checkpoint_lineage,
