@@ -162,7 +162,12 @@ def main():
         n_docs = duckdb.connect().execute(
             f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
         ).fetchone()[0]
-        spark = get_spark("wws-scaling", master=master, shuffle_partitions=32, aqe=False)
+        # fixed partition count for BOTH parallelism levels (identical plan);
+        # 96 = 3 waves at 32 threads, 12 at 8 — multi-wave scheduling load-
+        # balances stragglers, which otherwise tax the wide run dispropor-
+        # tionately (one wave of 32 unequal tasks = wall clock of the worst).
+        parts = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "96"))
+        spark = get_spark("wws-scaling", master=master, shuffle_partitions=parts, aqe=False)
         try:
             spatial_job(spark, "/root/testdata/sf0.001")  # warm codegen/UDFs
             t0 = time.time()

@@ -223,7 +223,8 @@ def synth_facts(sf: float) -> dict:
     # places: 50% of geo items + 2 non-geo items
     n_pl = int(len(geo_items) * 0.5)
     place_items = sorted(rng.choice(geo_items, size=n_pl, replace=False).tolist())
-    non_geo = [j for j in range(n_items) if j not in set(geo_items)]
+    geo_set = set(geo_items)  # hoisted: building it per-item was O(n^2)
+    non_geo = [j for j in range(n_items) if j not in geo_set]
     place_items += non_geo[:2]
     place_rows: list[tuple[str, str]] = []
     for j in place_items:
