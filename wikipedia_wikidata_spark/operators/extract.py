@@ -96,6 +96,10 @@ def shared_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             spans_flat(docs)
             .drop("f")
+            # prose spans are half the corpus bytes and no extractor reads
+            # them (text analysis runs on the driver documents table); the
+            # session cache only needs the fact kinds
+            .filter(F.col("kind") != "prose")
             .write.mode("overwrite")
             .partitionBy("kind")
             .parquet(path)

@@ -137,6 +137,15 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
             "min_lat", "max_lat", "min_lon", "max_lon",
         )
     )
+    # Round-robin repartition of the streamed coverage side BEFORE the
+    # candidate expansion: the polygon table reads from a small file (often
+    # 1-2 scan tasks), and with the point side broadcast the O(points x
+    # polygons-per-cell) expansion would otherwise run at the scan's
+    # parallelism — the whole join serializes onto a couple of cores no
+    # matter the cluster width. The shuffle moves only the compact coverage
+    # rows, never the expanded pairs.
+    n_parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cov = cov.repartition(n_parts)
     if salt:
         hot_threshold = hot_threshold or MEGA_CELL_THRESHOLD
         hot = (
