@@ -19,7 +19,7 @@ import tempfile
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
@@ -32,6 +32,13 @@ def round5(x: pd.Series) -> pd.Series:
     """Vectorized half-even round to 5 decimals (numpy); models the
     reference's Python round() in bin/filter_wikidata_geo_tags.py:50-51."""
     return pd.Series(np.round(x.to_numpy(dtype="float64"), 5))
+
+
+def round5_col(col: str) -> Column:
+    """JVM twin of round5: rint(x*1e5)/1e5 is numpy.round's exact algorithm
+    (same IEEE ops, half-even), but stays in whole-stage codegen — the
+    pandas UDF put a Python exchange in the middle of the importance chain."""
+    return F.expr(f"rint({col} * 100000.0) / 100000.0")
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,8 +211,8 @@ def geo_tags_view(sp: DataFrame) -> DataFrame:
     )
     return v.select(
         "gt_page_id",
-        round5(F.col("lat")).alias("gt_lat"),
-        round5(F.col("lon")).alias("gt_lon"),
+        round5_col("lat").alias("gt_lat"),
+        round5_col("lon").alias("gt_lon"),
     )
 
 
