@@ -10,6 +10,20 @@ from wikipedia_wikidata_spark.sources.catalog import Catalog
 from .conftest import SF_DIR_SMALL
 
 
+def test_catalog_time_travel(spark, tmp_path_factory):
+    """Snapshot versioning: earlier committed versions stay readable
+    (Iceberg VERSION AS OF analog)."""
+    out = str(tmp_path_factory.mktemp("tt"))
+    cat = Catalog(out)
+    cat.write(spark, spark.range(5).withColumnRenamed("id", "x"), "t", "fp1", "r1")
+    cat.write(spark, spark.range(9).withColumnRenamed("id", "x"), "t", "fp2", "r2")
+    assert cat.current_version("t") == 2
+    assert cat.read(spark, "t").count() == 9
+    assert cat.read(spark, "t", version=1).count() == 5
+    assert [s["version"] for s in cat.snapshots("t")] == [1, 2]
+    assert cat.is_complete("t", "fp2") and not cat.is_complete("t", "fp1")
+
+
 def test_pipeline_resume(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("pipe"))
     r1 = run_pipeline(spark, SF_DIR_SMALL, out)

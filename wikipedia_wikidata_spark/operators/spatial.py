@@ -294,14 +294,19 @@ def knn_nearest(points: DataFrame, places: DataFrame,
         # map-side so the shuffle carries at most one row per (point,
         # map-task). Ordering (_d2, g_item) is the window's orderBy; the pair
         # is unique per candidate so the pick is deterministic.
+        # lat/lon ride in the payload, not the grouping key: they are
+        # functionally dependent on the point keys, and the partial
+        # SortAggregate's per-partition sort cost tracks key width.
         payload = F.struct(
-            F.col("_d2"), F.col("g_item"), F.col("g_lat"), F.col("g_lon")
+            F.col("_d2"), F.col("g_item"), F.col("lat"), F.col("lon")
         )
         best = (
-            cand.groupBy(*point_keys, "lat", "lon")
+            cand.groupBy(*point_keys)
             .agg(F.min(payload).alias("_b"))
             .select(
-                *point_keys, "lat", "lon",
+                *point_keys,
+                F.col("_b.lat").alias("lat"),
+                F.col("_b.lon").alias("lon"),
                 F.col("_b._d2").alias("_d2"),
                 F.col("_b.g_item").alias("g_item"),
             )

@@ -2,11 +2,14 @@
 manifests (SURVEY.md §7.1: no Iceberg jars in the sandbox; the interface keeps
 a real Iceberg catalog drop-in-able via --packages on a cluster).
 
-Each table directory holds the parquet files plus ``_manifest.json``:
-stage name, input fingerprint, row count, wall-clock, run id, and
-PER-PARTITION lineage (file -> rows) — the north_rule's "resumable from
-checkpoint with per-partition lineage + metrics". Commits are atomic via
-write-to-tmp + rename; a killed job leaves no half-visible table.
+Each table directory holds versioned snapshot dirs (``v00001``, ``v00002``,
+…) plus ``_manifest.json`` (latest) and ``_current.json`` (the snapshot
+pointer). Every manifest records: stage name, input fingerprint, row count,
+wall-clock, run id, and PER-PARTITION lineage (file -> rows) — the
+north_rule's "resumable from checkpoint with per-partition lineage +
+metrics". Commits are atomic (write-to-tmp + rename, then pointer swap); a
+killed job leaves no half-visible snapshot, and earlier snapshots stay
+readable (``read(..., version=k)`` = Iceberg ``VERSION AS OF``).
 """
 
 from __future__ import annotations
@@ -43,8 +46,41 @@ class Catalog:
         m = self.manifest(name)
         return bool(m) and m.get("fingerprint") == fingerprint and m.get("status") == "committed"
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.path(name))
+    def _current(self, name: str) -> dict | None:
+        try:
+            with open(os.path.join(self.path(name), "_current.json")) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def current_version(self, name: str) -> int | None:
+        cur = self._current(name)
+        return cur["version"] if cur else None
+
+    def snapshots(self, name: str) -> list[dict]:
+        """All committed snapshots of a table (version, rows, run_id, ...)."""
+        out = []
+        root = self.path(name)
+        if not os.path.isdir(root):
+            return out
+        for d in sorted(os.listdir(root)):
+            mp = os.path.join(root, d, "_manifest.json")
+            if d.startswith("v") and os.path.isfile(mp):
+                with open(mp) as f:
+                    m = json.load(f)
+                m["version"] = int(d[1:])
+                out.append(m)
+        return out
+
+    def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
+        """Read a table snapshot; ``version`` = Iceberg VERSION AS OF (None
+        = current)."""
+        if version is None:
+            cur = self._current(name)
+            if cur is None:  # pre-versioning layout: data at table root
+                return spark.read.parquet(self.path(name))
+            version = cur["version"]
+        return spark.read.parquet(os.path.join(self.path(name), f"v{version:05d}"))
 
     def write(
         self,
@@ -55,10 +91,15 @@ class Catalog:
         run_id: str,
         partition_by: list[str] | None = None,
     ) -> dict:
-        """Atomic checkpoint commit with per-partition lineage."""
+        """Atomic snapshot commit with per-partition lineage; earlier
+        snapshots remain readable (time travel)."""
         t0 = time.time()
-        final = self.path(name)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        root = self.path(name)
+        os.makedirs(root, exist_ok=True)
+        cur = self._current(name)
+        version = (cur["version"] + 1) if cur else 1
+        vdir = os.path.join(root, f"v{version:05d}")
+        tmp = vdir + ".tmp-" + uuid.uuid4().hex[:8]
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -77,6 +118,7 @@ class Catalog:
             "fingerprint": fingerprint,
             "run_id": run_id,
             "status": "committed",
+            "version": version,
             "rows": rows,
             "n_partitions": len(lineage),
             "wall_ms": int((time.time() - t0) * 1000),
@@ -84,9 +126,18 @@ class Catalog:
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        os.rename(tmp, vdir)
+        # snapshot pointer + latest-manifest swap (os.replace = atomic)
+        for fname, payload in (
+            ("_current.json", {"version": version}),
+            ("_manifest.json", manifest),
+        ):
+            ptmp = os.path.join(root, fname + ".tmp")
+            with open(ptmp, "w") as f:
+                json.dump(payload, f, indent=1)
+            os.replace(ptmp, os.path.join(root, fname))
         return manifest
 
     def drop(self, name: str) -> None:
