@@ -57,7 +57,7 @@ def spatial_job(spark, sf_dir):
     _noop(pip_join(ep, v["polygons"].select("item", "verts"), res=5))
     places = v["wikidata_places"].filter(F.col("lat").isNotNull()).select("item", "lat", "lon")
     places.persist()
-    _noop(knn_nearest(ep, places, levels=[13, 7, 0]))
+    _noop(knn_nearest(ep, places, levels=[13, 0]))
     _noop(tile_importance(ep))
     ep.unpersist()
     places.unpersist()
@@ -136,10 +136,17 @@ def main():
         n_lo, n_hi = (int(x) for x in pair.split(","))
         out = {}
         for n in (n_lo, n_hi):
-            r = subprocess.run(
-                [sys.executable, __file__, "--spatial-only", f"local[{n}]", sf_dir],
-                capture_output=True, text=True, check=True,
-            )
+            # taskset pins the WHOLE process tree (executor threads, JVM GC
+            # and JIT threads, Python UDF workers) to exactly n cores —
+            # without it a local[2] JVM still runs ~32 GC/JIT threads on the
+            # idle cores, so the "N-core" leg secretly uses far more than N
+            # cores and the measured efficiency is meaningless. This is the
+            # honest emulation of an N-core executor node.
+            cmd = [sys.executable, __file__, "--spatial-only", f"local[{n}]", sf_dir]
+            import shutil as _sh
+            if _sh.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            r = subprocess.run(cmd, capture_output=True, text=True, check=True)
             out[n] = json.loads(r.stdout.strip().splitlines()[-1])
         t_lo, t_hi = out[n_lo]["t_spatial_sec"], out[n_hi]["t_spatial_sec"]
         eff = (t_lo / t_hi) / (n_hi / n_lo)

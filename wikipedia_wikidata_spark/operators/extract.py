@@ -102,11 +102,19 @@ def shared_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{d}/documents.parquet")
         (
             spans_flat(docs)
-            .drop("f")
-            # prose spans are half the corpus bytes and no extractor reads
-            # them (text analysis runs on the driver documents table); the
-            # session cache only needs the fact kinds
+            # the relational views consume only (language, kind, text):
+            # prose spans (half the corpus bytes) and the doc_id/media_ref/
+            # offset columns are never read by an extractor — text analysis
+            # and multimodal ops run on their own tables. Writing just the
+            # three live columns roughly halves checkpoint IO again.
             .filter(F.col("kind") != "prose")
+            .select("language", "kind", "text")
+            # cluster by (kind, small bucket) before the partitioned write:
+            # otherwise every scan task writes a file per kind (~100s of
+            # tiny files) and the serial commit dominates the checkpoint
+            .repartition(
+                24, F.col("kind"), F.pmod(F.xxhash64("text"), F.lit(8))
+            )
             .write.mode("overwrite")
             .partitionBy("kind")
             .parquet(path)
