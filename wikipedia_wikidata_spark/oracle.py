@@ -432,6 +432,12 @@ ORACLES: dict[str, str] = {
 }
 ORACLES.update(_spatial_oracles())
 ORACLES["multimodal_features"] = _multimodal_oracle()
+ORACLES["mysqldump_scan"] = """SELECT page_id, page_title, ns FROM (VALUES
+  (CAST(1 AS BIGINT), 'Main_Page', '0'),
+  (CAST(2 AS BIGINT), 'Title''s,comma', '0'),
+  (CAST(3 AS BIGINT), NULL, '1'),
+  (CAST(4 AS BIGINT), 'back\\slash' || chr(9) || 'tab', '0')
+) t(page_id, page_title, ns)"""
 ORACLES["media_resize"] = _media_resize_oracle()
 ORACLES["media_frame_sample"] = _media_frame_sample_oracle()
 

@@ -236,6 +236,38 @@ def q_cell_vector(spark, sf_dir):
     return cell_vector(cells, res=5)
 
 
+MYSQLDUMP_FIXTURE = "\n".join([
+    "-- MySQL dump 10.13  Distrib 8.0",
+    "/*!40101 SET NAMES utf8mb4 */;",
+    "INSERT INTO `page` VALUES (1,'Main_Page',0),(2,'Title''s,comma',0),(3,NULL,1);",
+    "INSERT INTO `other` VALUES (99,'ignored',0);",
+    "INSERT INTO `page` VALUES (4,'back\\\\slash\\ttab',0);",
+    "",
+])
+
+
+def q_mysqldump_scan(spark, sf_dir):
+    """S3: the reference's mysqldump INSERT grammar (quotes, doubled-quote
+    and backslash escapes, NULL, multi-tuple statements, table filter) via
+    the Arrow-batched stream parser (sources/mysqldump.py); fixture is a
+    deterministic literal so the oracle is a VALUES table."""
+    import os
+    import tempfile
+
+    from .sources.mysqldump import read_mysqldump
+
+    d = tempfile.mkdtemp(prefix="wws_dump_")
+    p = os.path.join(d, "page.sql")
+    with open(p, "w") as f:
+        f.write(MYSQLDUMP_FIXTURE)
+    rows = read_mysqldump(spark, p, table="page")
+    return rows.select(
+        F.element_at("fields", 1).cast("bigint").alias("page_id"),
+        F.element_at("fields", 2).alias("page_title"),
+        F.element_at("fields", 3).alias("ns"),
+    )
+
+
 def q_media_resize(spark, sf_dir):
     """Arrow-batched aspect-fit resize over binary media payloads
     (operators/multimodal.py; pixel work stubbed, plumbing real)."""
@@ -376,6 +408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_cell_cover": q_tile_cell_cover,
     "cell_vector": q_cell_vector,
     "multimodal_features": q_multimodal_features,
+    "mysqldump_scan": q_mysqldump_scan,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "streaming_tumbling": q_streaming_tumbling,
