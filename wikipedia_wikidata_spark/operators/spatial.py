@@ -280,8 +280,12 @@ def knn_nearest(points: DataFrame, places: DataFrame,
                 (F.col("_gy0") + F.col("_dy")).alias("_gy"),
             )
             .filter((F.col("_gy") >= 0) & (F.col("_gy") < n))
-            .dropDuplicates(["g_item", "_gx", "_gy"])
         )
+        if b < 2:
+            # only a <4-wide grid can alias pmod(x0±1) offsets onto the same
+            # cell; at real levels the 9 neighbor rows are distinct by
+            # construction and the dedup would be a pointless wide shuffle
+            pl = pl.dropDuplicates(["g_item", "_gx", "_gy"])
         cand = pts.join(pl, (pts["_cx"] == pl["_gx"]) & (pts["_cy"] == pl["_gy"]))
         # explicit multiplication (not pow) so the DuckDB oracle's identical
         # expression is bit-equal
