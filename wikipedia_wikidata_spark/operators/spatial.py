@@ -233,9 +233,15 @@ def salt_hot_cells(df: DataFrame, cell_col: str, threshold: int, n_salt: int,
     )
 
 
+def knn_release(df: DataFrame) -> None:
+    """Unpersist a knn_nearest result (the one cache it returns)."""
+    df.unpersist()
+
+
 def knn_nearest(points: DataFrame, places: DataFrame,
                 levels: list[int] | None = None,
-                point_keys: list[str] | None = None) -> DataFrame:
+                point_keys: list[str] | None = None,
+                materialize: bool = True) -> DataFrame:
     """Top-1 nearest place per point (J15) as a fixed multi-level lazy DAG.
 
     points: (*point_keys, lat, lon); places: (item, lat, lon).
@@ -338,4 +344,17 @@ def knn_nearest(points: DataFrame, places: DataFrame,
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    if not materialize:
+        # caller owns the per-level caches (lazy mode; used by tests that
+        # inspect the unevaluated plan)
+        return out
+    # Materialize the union ONCE while the per-level caches are hot, then
+    # drop them: without this every knn_nearest call leaked len(levels)
+    # persisted DataFrames for the life of the session (round-1 verdict).
+    # The result itself is the single remaining cache; callers release it
+    # with knn_release() when done.
+    out = out.persist()
+    out.count()
+    for c in cached:
+        c.unpersist()
     return out

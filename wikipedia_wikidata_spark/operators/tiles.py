@@ -102,7 +102,14 @@ def tile_cell_cover(tiles: DataFrame, res: int) -> DataFrame:
 
     bits = CELL_RES_BITS[res]
     nb = 1 << bits
-    fac = F.pow(F.lit(2.0), (F.lit(bits) - F.col("zoom"))).cast("long")
+    # fac = 2^(bits-zoom) kept as DOUBLE: when zoom > bits a tile is FINER
+    # than a cell and fac < 1 — the long cast used to truncate it to 0 and
+    # emit a descending [0,-1] x-range with bogus negative cell ids. With the
+    # float form, floor(tile_x * fac) is the single covering cell column
+    # (floor(tile_x / 2^(zoom-bits))) and the greatest() pins cx1 >= cx0, so
+    # both the coarse (range of columns) and fine (one column) cases are
+    # exact. Values stay < 2^29, well inside double precision.
+    fac = F.pow(F.lit(2.0), (F.lit(bits) - F.col("zoom")))
     n = F.pow(F.lit(2.0), F.col("zoom")).cast("double")
     lat_bottom = _inv_mercator_lat((F.col("tile_y") + 1).cast("double"), n)
     lat_top = _inv_mercator_lat(F.col("tile_y").cast("double"), n)
@@ -114,10 +121,12 @@ def tile_cell_cover(tiles: DataFrame, res: int) -> DataFrame:
         F.greatest(F.floor((lat_top + F.lit(90.0)) / F.lit(180.0) * F.lit(float(nb))), F.lit(0)),
         F.lit(nb - 1),
     ).cast("long")
+    cx0 = F.floor(F.col("tile_x") * fac).cast("long")
+    cx1 = F.greatest(F.floor((F.col("tile_x") + 1) * fac).cast("long") - 1, cx0)
     t = tiles.select(
         "zoom", "tile_x", "tile_y",
-        (F.col("tile_x") * fac).alias("_cx0"),
-        ((F.col("tile_x") + 1) * fac - 1).alias("_cx1"),
+        cx0.alias("_cx0"),
+        cx1.alias("_cx1"),
         y0.alias("_cy0"), y1.alias("_cy1"),
     )
     c = t.withColumn("_cx", F.explode(F.sequence("_cx0", "_cx1"))).withColumn(

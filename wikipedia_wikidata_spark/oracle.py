@@ -234,7 +234,7 @@ def _hexpair_sql(e: str, i: int) -> str:
 def _multimodal_oracle() -> str:
     b = [_hexpair_sql("media_ref", i) for i in range(8)]
     feat = ", ".join(
-        f"CAST(floor(CAST(CAST({bi} / 255.0 AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        f"CAST(CAST(floor(CAST(CAST({bi} / 255.0 AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)"
         for bi in b
     )
     return q(
@@ -242,7 +242,7 @@ def _multimodal_oracle() -> str:
        CAST(256 + {b[0]} * 4 AS INTEGER) AS width,
        CAST(256 + {b[1]} * 4 AS INTEGER) AS height,
        CAST(1 + {b[2]} % 8 AS INTEGER) AS n_frames,
-       [{feat}] AS feature_e6
+       concat_ws(',', {feat}) AS feature_e6
 FROM (SELECT doc_id, media_ref FROM spans WHERE kind = 'media')"""
     )
 

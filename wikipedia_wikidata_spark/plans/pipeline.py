@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..config import LANGUAGES, spans_dir_for
 from ..operators import extract as ex
-from ..operators.spatial import knn_nearest, pip_join
+from ..operators.spatial import knn_nearest, knn_release, pip_join
 from ..operators.tiles import tile_importance
 from ..sources.catalog import Catalog
 from . import importance as imp
@@ -119,6 +119,14 @@ def run_pipeline(
     geo_places = cat.read(spark, "wikidata_places").filter(
         F.col("lat").isNotNull()
     ).select("item", "lat", "lon")
-    stage("knn", lambda: knn_nearest(pts, geo_places))
+    built_knn: list[DataFrame] = []
+
+    def build_knn() -> DataFrame:
+        built_knn.append(knn_nearest(pts, geo_places))
+        return built_knn[0]
+
+    stage("knn", build_knn)
+    if built_knn:  # release the one cache knn_nearest returns (skip-safe)
+        knn_release(built_knn[0])
     stage("tiles", lambda: tile_importance(pts), ["zoom"])
     return report

@@ -28,7 +28,7 @@ def get_spark(
         master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
             os.environ.get("SPARK_GRAFT_CPUS", "32")
         )
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and master != "":
         # local[N] -> N; a real cluster would use 2-3x total cores or AQE.
         n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
         try:
@@ -38,9 +38,16 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master != "":
         builder = builder.master(master)
+    if shuffle_partitions is not None:
+        # Under spark-submit (master="") the launcher's --conf wins: setting
+        # a single-node default of 32 here would silently pin a real cluster
+        # to 32 shuffle partitions. Only set when derived from an explicit
+        # local master or passed explicitly by the caller.
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
         builder
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE defaults ON (runtime re-plan + skew split for real-scale
         # partitions). The bench turns it off for its timed job: with
         # sub-second stages AQE's stage-at-a-time driver round trips are

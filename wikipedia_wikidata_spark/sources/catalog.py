@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -58,14 +59,22 @@ class Catalog:
         return cur["version"] if cur else None
 
     def snapshots(self, name: str) -> list[dict]:
-        """All committed snapshots of a table (version, rows, run_id, ...)."""
+        """All committed snapshots of a table (version, rows, run_id, ...).
+
+        Strict ``vNNNNN`` match: a commit killed between the in-dir manifest
+        write and the os.rename leaves a ``vNNNNN.tmp-<hex>/`` orphan that
+        contains a _manifest.json — it must not be listed (and int('NNNNN.tmp'
+        ...) must not crash the listing after exactly the crash the catalog is
+        designed to survive)."""
         out = []
         root = self.path(name)
         if not os.path.isdir(root):
             return out
         for d in sorted(os.listdir(root)):
+            if not re.fullmatch(r"v\d{5}", d):
+                continue
             mp = os.path.join(root, d, "_manifest.json")
-            if d.startswith("v") and os.path.isfile(mp):
+            if os.path.isfile(mp):
                 with open(mp) as f:
                     m = json.load(f)
                 m["version"] = int(d[1:])
@@ -96,6 +105,10 @@ class Catalog:
         t0 = time.time()
         root = self.path(name)
         os.makedirs(root, exist_ok=True)
+        # garbage-collect tmp dirs orphaned by a previously killed commit
+        for d in os.listdir(root):
+            if ".tmp-" in d:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         cur = self._current(name)
         version = (cur["version"] + 1) if cur else 1
         vdir = os.path.join(root, f"v{version:05d}")
