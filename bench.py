@@ -84,7 +84,7 @@ def run_bench(master: str, sf_dir: str) -> dict:
     try:
         from wikipedia_wikidata_spark.plans.importance import run_importance
         from wikipedia_wikidata_spark.queries_training import (
-            q_dedup_minhash_lsh, q_emb_cosine_topk,
+            q_dedup_minhash_lsh, q_emb_ann_lsh,
         )
 
         # warm codegen/Python-UDF workers on the tiny corpus so the timed
@@ -107,9 +107,12 @@ def run_bench(master: str, sf_dir: str) -> dict:
         _noop(q_dedup_minhash_lsh(spark, sf_dir))
         queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
 
+        # scale path, not the brute-force baseline: cosine_topk is a
+        # cartesian-shaped BroadcastNestedLoopJoin (exact oracle only); the
+        # timed suite must contain no plan that degenerates at 100x data.
         t0 = time.time()
-        _noop(q_emb_cosine_topk(spark, sf_dir))
-        queries["emb_cosine_topk"] = round(time.time() - t0, 3)
+        _noop(q_emb_ann_lsh(spark, sf_dir))
+        queries["emb_ann_lsh"] = round(time.time() - t0, 3)
 
         total = round(sum(queries.values()), 3)
         sf = float(os.path.basename(os.path.normpath(sf_dir))[2:] or 0.1)

@@ -27,6 +27,64 @@ def test_ngram_jaccard_recovers_planted_pairs(spark):
     assert all(v >= 600000 for v in got.values())
 
 
+def test_ann_lsh_recall_on_near_neighbors(spark):
+    """ANN recall contract: for queries that HAVE a true near neighbor
+    (planted at cosine ~0.94 — inside the regime hyperplane-LSH covers),
+    multi-table data-dependent LSH must find it with recall@1 >= 0.9.
+
+    Ground truth is numpy brute force. The base corpus is isotropic random
+    (top-1 cosine ~0.41) where no sublinear index can be accurate — that
+    regime belongs to the exact cosine_topk path and is intentionally NOT
+    asserted here (see operators/similarity.py docstring)."""
+    import numpy as np
+
+    from wikipedia_wikidata_spark.operators.similarity import (
+        ann_lsh_topk, n_planes_for,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.toPandas()
+    V = np.vstack(base.embedding.to_numpy())
+    ids = base.vec_id.to_numpy()
+    rng = np.random.default_rng(99)
+    # plant queries at a ~20-degree angle from a sampled base vector
+    q_idx = rng.choice(len(V), size=min(120, len(V)), replace=False)
+    theta = np.deg2rad(20.0)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    planted = []
+    for qi in q_idx:
+        d = rng.standard_normal(V.shape[1])
+        d -= d @ Vn[qi] * Vn[qi]
+        d /= np.linalg.norm(d)
+        planted.append(np.cos(theta) * Vn[qi] + np.sin(theta) * d)
+    P = np.vstack(planted)
+    q_ids = 5_000_000 + np.arange(len(P))
+    both = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, V)]
+        + [(int(i), [float(x) for x in row]) for i, row in zip(q_ids, P)],
+        "vec_id bigint, embedding array<double>",
+    )
+    n_planes = n_planes_for(len(V) + len(P))
+    top1 = {
+        r.q_id: r.n_id
+        for r in ann_lsh_topk(both, k=1, n_planes=n_planes).collect()
+    }
+    # numpy ground truth: each planted query's true nearest base vector
+    allV = np.vstack([Vn, P])
+    all_ids = np.concatenate([ids, q_ids])
+    S = P @ allV.T
+    hits = 0
+    for row, qid in enumerate(q_ids):
+        order = np.argsort(-S[row])
+        truth = next(int(all_ids[j]) for j in order if all_ids[j] != qid)
+        if top1.get(int(qid)) == truth:
+            hits += 1
+    recall = hits / len(q_ids)
+    assert recall >= 0.9, f"ANN recall@1 {recall:.2f} < 0.9"
+
+
 def test_emb_near_dup_recovers_planted_pairs(spark):
     from wikipedia_wikidata_spark.operators.similarity import emb_near_dup
 

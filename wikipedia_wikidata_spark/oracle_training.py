@@ -221,30 +221,54 @@ SELECT q_id, n_id, CAST(_rk AS BIGINT) AS rank,
 FROM r WHERE _rk <= {k}"""
 
 
-def ann_lsh_sql(k: int = 3) -> str:
-    from .operators.similarity import plane_weights
+def embeddings_rows(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    """Row count from the parquet footer (no data read) — the deterministic
+    input both engines feed to n_planes_for, so Spark and the oracle build
+    the identical data-dependent LSH geometry."""
+    import pyarrow.parquet as pq
 
-    w = plane_weights()
-    terms = []
-    for p in range(N_PLANES):
-        arr = "[" + ", ".join(repr(float(x)) for x in w[p]) + "]"
-        proj = dot_sql("emb_d", f"({arr})")
-        terms.append(
-            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+def ann_lsh_sql(k: int = 3, sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Mirrors operators/similarity.ann_lsh_topk: multi-table data-dependent
+    LSH, DISTINCT candidate union, exact re-rank."""
+    from .operators.similarity import N_TABLES, n_planes_for, plane_weights
+
+    n_planes = n_planes_for(embeddings_rows(sf_dir))
+    table_rows = []
+    for t in range(N_TABLES):
+        w = plane_weights(n_planes, t)
+        terms = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in w[p]) + "]"
+            proj = dot_sql("emb_d", f"({arr})")
+            terms.append(
+                f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        bucket = " + ".join(terms)
+        table_rows.append(
+            f"SELECT vec_id, {t} AS lsh_table, {bucket} AS lsh_bucket FROM base"
         )
-    bucket = " + ".join(terms)
-    dot = dot_sql("q_emb", "n_emb")
-    nq = f"sqrt({dot_sql('q_emb', 'q_emb')})"
-    nn = f"sqrt({dot_sql('n_emb', 'n_emb')})"
-    return f"""WITH b AS (
-  SELECT vec_id, emb_d, {bucket} AS lsh_bucket
-  FROM (SELECT vec_id, {_emb_d()} AS emb_d FROM embeddings)
+    buckets = "\n  UNION ALL\n  ".join(table_rows)
+    dot = dot_sql("qb.emb_d", "nb.emb_d")
+    nq = f"sqrt({dot_sql('qb.emb_d', 'qb.emb_d')})"
+    nn = f"sqrt({dot_sql('nb.emb_d', 'nb.emb_d')})"
+    return f"""WITH base AS (
+  SELECT vec_id, {_emb_d()} AS emb_d FROM embeddings
+),
+bt AS (
+  {buckets}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+  FROM bt q JOIN bt n USING (lsh_table, lsh_bucket) WHERE q.vec_id != n.vec_id
 ),
 j AS (
-  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-         {dot.replace('q_emb', 'q.emb_d').replace('n_emb', 'n.emb_d')} /
-         ({nq.replace('q_emb', 'q.emb_d')} * {nn.replace('n_emb', 'n.emb_d')}) AS _cos
-  FROM b q JOIN b n USING (lsh_bucket) WHERE q.vec_id != n.vec_id
+  SELECT q_id, n_id, {dot} / ({nq} * {nn}) AS _cos
+  FROM cand
+  JOIN base qb ON cand.q_id = qb.vec_id
+  JOIN base nb ON cand.n_id = nb.vec_id
 ),
 r AS (
   SELECT q_id, n_id, _cos,

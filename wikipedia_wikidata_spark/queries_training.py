@@ -53,9 +53,14 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_ann_lsh(spark, sf_dir):
-    from .operators.similarity import ann_lsh_topk
+    from .operators.similarity import ann_lsh_topk, n_planes_for
+    from .oracle_training import embeddings_rows
 
-    return ann_lsh_topk(_emb(spark, sf_dir))
+    # n_planes from the parquet footer (not a Spark count job): deterministic
+    # and identical to what the DuckDB oracle derives for the same sf_dir.
+    return ann_lsh_topk(
+        _emb(spark, sf_dir), n_planes=n_planes_for(embeddings_rows(sf_dir))
+    )
 
 
 def q_text_lang_id(spark, sf_dir):
