@@ -9,8 +9,9 @@ deterministic tie-breaks documented in plans/importance.py.
 
 from __future__ import annotations
 
-import math
 from collections import defaultdict
+
+import numpy as np
 
 from wikipedia_wikidata_spark.config import LANGUAGES, PLACE_TYPE_LEVELS
 
@@ -164,7 +165,15 @@ def reference_importance(facts: dict, languages: list[str] | None = None):
     article = {}
     for (L, t), tc in article_full.items():
         w = wp_pick.get((L, t))
-        imp = max(math.log10(tc) / math.log10(max_total), 1e-10)
+        # np.log10, not math.log10: the engine computes the ratio with a
+        # numpy Arrow UDF (plans/importance.log10_ratio_floor) and numpy's
+        # scalar/SIMD log10 are bit-equal while java.lang.Math.log10 is 1 ulp
+        # off on ~2% of inputs — this keeps oracle and engine bit-identical,
+        # which the byte-exact TSV golden requires.
+        imp = max(
+            float(np.log10(np.float64(tc)) / np.log10(np.float64(max_total))),
+            1e-10,
+        )
         if w is not None and imp != 0:
             article[(L, t)] = (imp, w[0])
 

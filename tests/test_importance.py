@@ -1,8 +1,6 @@
 """End-to-end golden: Spark pipeline vs the pure-Python reference oracle
 (tests/ref_oracle.py) on the sf0.001 corpus, plus the README invariants."""
 
-import math
-
 from wikipedia_wikidata_spark.plans.importance import (
     run_importance,
     run_importance_sorted,
@@ -26,7 +24,37 @@ def test_pipeline_matches_python_reference_oracle(spark):
     for k, (imp, wid) in exp.items():
         gimp, gwid = got[k]
         assert gwid == wid, (k, gwid, wid)
-        assert math.isclose(gimp, imp, rel_tol=1e-12), (k, gimp, imp)
+        # bit-exact, not isclose: engine and oracle share numpy's log10
+        # (plans/importance.log10_ratio_floor), which the byte-exact TSV
+        # golden below relies on
+        assert gimp == imp, (k, repr(gimp), repr(imp))
+
+
+def test_tsv_bytes_match_python_reference_oracle(spark, tmp_path_factory):
+    """F9 byte-exact golden: the full sf0.001 TSV artifact equals the pure-
+    Python reference oracle's formatted output byte for byte (header, tab
+    separation, sort order, repr float rendering incl. the 1e-10 floor)."""
+    from collections import Counter
+
+    from wikipedia_wikidata_spark.sinks import write_importance_tsv
+
+    out = str(tmp_path_factory.mktemp("tsv_golden") / "wikimedia_importance.tsv.gz")
+    write_importance_tsv(run_importance(spark, SF_DIR_SMALL), out)
+    import gzip
+
+    with gzip.open(out, "rt") as f:
+        got_text = f.read()
+
+    exp = reference_importance(synth_facts(0.001))
+    sizes = Counter(L for (L, _, _) in exp)
+    rows = sorted(
+        ((L, ty, t, imp, wid) for (L, ty, t), (imp, wid) in exp.items()),
+        key=lambda r: (-sizes[r[0]], r[1], r[2]),
+    )
+    exp_text = "language\ttype\ttitle\timportance\twikidata_id\n" + "".join(
+        f"{L}\t{ty}\t{t}\t{imp!r}\t{wid}\n" for L, ty, t, imp, wid in rows
+    )
+    assert got_text == exp_text
 
 
 def test_invariants_and_sink_order(spark):

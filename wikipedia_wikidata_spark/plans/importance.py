@@ -19,11 +19,32 @@ Output schema (README.md:54-62): (language, type, title, importance, wikidata_id
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from ..config import IMPORTANCE_FLOOR, LANGUAGES, spans_dir_for
 from ..operators.extract import extract_views_shared
+
+
+@pandas_udf(DoubleType())
+def log10_ratio_floor(total: pd.Series, mx: pd.Series) -> pd.Series:
+    """importance = max(log10(total)/log10(max), 1e-10), Arrow-vectorized.
+
+    Deliberately NOT the JVM F.log10 (F9, byte-exact TSV): java.lang.Math
+    .log10 differs from numpy/libm log10 by 1 ulp on ~2% of integer inputs,
+    which breaks the byte-level golden comparison of repr-formatted
+    importance against the pure-Python reference oracle
+    (tests/test_importance.py). numpy's scalar and SIMD paths are bit-equal
+    (verified), so the oracle's per-row np.log10 matches this batch form
+    exactly. Same precedent as round5 (bin/filter_wikidata_geo_tags.py:50),
+    except there a JVM twin (rint) existed; for log10 none does."""
+    t = np.log10(total.to_numpy(dtype="float64"))
+    m = np.log10(mx.to_numpy(dtype="float64"))
+    return pd.Series(np.maximum(t / m, IMPORTANCE_FLOOR))
 
 
 def pagelink_counts(v: dict[str, DataFrame]) -> DataFrame:
@@ -201,9 +222,8 @@ def scored_articles(af: DataFrame, wp: DataFrame) -> DataFrame:
     )
     return af2.crossJoin(F.broadcast(mx)).withColumn(
         "importance",
-        F.greatest(
-            F.log10("totalcount") / F.log10("max_total"),
-            F.lit(IMPORTANCE_FLOOR),
+        log10_ratio_floor(
+            F.col("totalcount").cast("double"), F.col("max_total").cast("double")
         ),
     )
 

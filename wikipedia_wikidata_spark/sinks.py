@@ -14,18 +14,38 @@ import gzip
 import os
 import shutil
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+@pandas_udf(StringType())
+def repr_double(x: pd.Series) -> pd.Series:
+    """Python-repr float formatting (F9): shortest round-trip decimal,
+    trailing zeros dropped, '1e-10' not '1.0E-10'. The reference's text
+    fixtures assert exactly this rendering
+    (/root/reference/tests/filter_wikidata_geo_tags.test1expected.txt:
+    '55.9214', not '55.92140'); Spark's default Java Double.toString writes
+    '1.0E-10' and keeps a trailing '.0'. Arrow-batched; sink-only (the TSV
+    export is outside the hot path — the durable artifact is the parquet
+    catalog)."""
+    return x.map(lambda v: None if pd.isna(v) else repr(float(v)))
 
 
 def write_importance_tsv(wmi: DataFrame, out_path: str) -> str:
     """Sorted single-file TSV (gzip): ORDER BY language-size DESC, type, title
-    with header — byte-compatible shape with the reference's output."""
+    with header — byte-exact with the reference's formatting (repr floats)."""
     top = wmi.groupBy("language").agg(F.count(F.lit(1)).alias("size"))
     ordered = (
         wmi.join(F.broadcast(top), "language")
         .orderBy(F.desc("size"), "type", "title")
-        .select("language", "type", "title", "importance", "wikidata_id")
+        .select(
+            "language", "type", "title",
+            repr_double(F.col("importance")).alias("importance"),
+            "wikidata_id",
+        )
     )
     tmp = out_path + ".tmpdir"
     (
