@@ -57,6 +57,35 @@ def test_tsv_bytes_match_python_reference_oracle(spark, tmp_path_factory):
     assert got_text == exp_text
 
 
+def test_pipeline_at_39_languages(spark):
+    """The reference's full production configuration: 39 languages
+    (config/languages.txt). The engine is language-count-agnostic — the
+    39x39 othercount matrix (the reference's 2:20h UPDATE loop,
+    steps/wikipedia_process.sh:52-71) stays ONE grouped-SUM shuffle — and
+    the result matches the pure-Python oracle exactly at L=39."""
+    from wikipedia_wikidata_spark.config import LANGUAGES_FULL
+    from wikipedia_wikidata_spark.sources.synth import ensure_spans_data
+
+    assert len(LANGUAGES_FULL) == 39
+    d = ensure_spans_data(0.004, LANGUAGES_FULL)
+    got = {
+        (r.language, r.type, r.title): (r.importance, r.wikidata_id)
+        for r in run_importance(spark, d, languages=LANGUAGES_FULL).collect()
+    }
+    exp = reference_importance(
+        synth_facts(0.004, LANGUAGES_FULL), LANGUAGES_FULL
+    )
+    assert set(got) == set(exp), (
+        f"key diff: extra={sorted(set(got) - set(exp))[:5]} "
+        f"missing={sorted(set(exp) - set(got))[:5]}"
+    )
+    for k, (imp, wid) in exp.items():
+        gimp, gwid = got[k]
+        assert gwid == wid and gimp == imp, (k, gimp, imp, gwid, wid)
+    langs_out = {L for (L, _, _) in got}
+    assert len(langs_out) >= 30, f"only {len(langs_out)} languages produced rows"
+
+
 def test_invariants_and_sink_order(spark):
     rows = run_importance_sorted(spark, SF_DIR_SMALL).collect()
     assert len(rows) > 0

@@ -31,21 +31,37 @@ import pyarrow.parquet as pq
 
 from ..config import (
     ALL_PLACE_TYPES,
-    EXCLUDED_LANGUAGES,
     LANGUAGES,
     PLACE_TYPE_LEVELS,
     SEP,
     UNLEVELED_PLACE_TYPES,
+    excluded_languages_for,
 )
 
-GENERATOR_VERSION = 9
+GENERATOR_VERSION = 10
 
 # Small row groups so Spark can split the single corpus file across tasks
 # (one giant row group = every scan stage is single-threaded).
 ROW_GROUP_SIZE = 16384
 
-LANG_WEIGHTS = {"en": 0.55, "de": 0.20, "bar": 0.15, "li": 0.10}
-LINKS_PER_PAGE = {"en": 12, "de": 6, "bar": 6, "li": 6}
+
+def lang_weights(languages: list[str]) -> dict[str, float]:
+    """Zipf-ish corpus-size weights for an arbitrary language list (the
+    reference builds 39 editions of wildly different sizes; the round-1
+    hard-coded 4-language dict could not even generate a 39-language corpus)."""
+    raw = [1.0 / (i + 1) ** 1.1 for i in range(len(languages))]
+    s = sum(raw)
+    return {L: w / s for L, w in zip(languages, raw)}
+
+
+def links_per_page(languages: list[str]) -> dict[str, int]:
+    return {L: (12 if i == 0 else 6) for i, L in enumerate(languages)}
+
+
+def lang_probs(languages: list[str]) -> dict[str, float]:
+    """Per-item probability a language has an article for a Wikidata item
+    (decays with edition rank, floored — most items exist in few editions)."""
+    return {L: max(0.25, 0.8 * (0.65 ** i)) for i, L in enumerate(languages)}
 
 CLUSTERS = [
     (52.52, 13.40),
@@ -91,18 +107,24 @@ def _lattice(rng: np.random.Generator, n: int) -> tuple[np.ndarray, np.ndarray]:
     return lat, lon
 
 
-def synth_facts(sf: float) -> dict:
-    """Generate the full deterministic fact model for scale factor ``sf``."""
+def synth_facts(sf: float, languages: list[str] | None = None) -> dict:
+    """Generate the full deterministic fact model for scale factor ``sf``
+    over an arbitrary language list (default: config.LANGUAGES)."""
+    languages = list(languages or LANGUAGES)
+    weights = lang_weights(languages)
+    lpp = links_per_page(languages)
+    lang_prob = lang_probs(languages)
+    excluded = excluded_languages_for(languages)
     rng = np.random.default_rng(42)
     p_total = max(320, int(round(320_000 * sf)))
-    n_pages = {L: max(20, int(round(p_total * LANG_WEIGHTS[L]))) for L in LANGUAGES}
+    n_pages = {L: max(20, int(round(p_total * weights[L]))) for L in languages}
 
     pages: dict[str, list] = {}        # lang -> [(page_id, ns, title, is_redirect)]
     linktargets: dict[str, list] = {}  # lang -> [(lt_id, ns, lt_title)]
     redirects: dict[str, list] = {}    # lang -> [(rd_from, ns, rd_title)]
     art_idx: dict[str, list[int]] = {}
 
-    for L in LANGUAGES:
+    for L in languages:
         P = n_pages[L]
         rows, lts, rds, arts = [], [], [], []
         n_red = max(2, P // 10)
@@ -140,9 +162,9 @@ def synth_facts(sf: float) -> dict:
 
     # pagelinks: zipf-skewed targets over linktarget ids (valid + some missing)
     pagelinks: dict[str, list] = {}
-    for L in LANGUAGES:
+    for L in languages:
         P = n_pages[L]
-        n_links = P * LINKS_PER_PAGE[L]
+        n_links = P * lpp[L]
         ranks = rng.zipf(1.35, n_links * 2)
         ranks = ranks[ranks <= P + 40][:n_links]  # a few ids beyond P -> misses
         pl_from = rng.integers(1000, 1000 + P, len(ranks))
@@ -156,19 +178,19 @@ def synth_facts(sf: float) -> dict:
 
     # wikidata items: connect article pages across languages
     n_items = max(80, p_total // 2)
-    pools = {L: [i for i in art_idx[L]] for L in LANGUAGES}
-    for L in LANGUAGES:
+    pools = {L: [i for i in art_idx[L]] for L in languages}
+    for L in languages:
         rng.shuffle(pools[L])
     item_langs: list[dict[str, int]] = []  # item j -> {lang: page_idx}
-    lang_prob = {"en": 0.8, "de": 0.5, "bar": 0.35, "li": 0.25}
+    L0 = languages[0]
     for j in range(n_items):
         chosen = {}
-        for L in LANGUAGES:
+        for L in languages:
             if rng.random() < lang_prob[L] and pools[L]:
                 chosen[L] = pools[L].pop()
         if not chosen:
-            if pools["en"]:
-                chosen["en"] = pools["en"].pop()
+            if pools[L0]:
+                chosen[L0] = pools[L0].pop()
             else:
                 break
         item_langs.append(chosen)
@@ -177,9 +199,9 @@ def synth_facts(sf: float) -> dict:
     # sitelinks (wb_items_per_site): titles with SPACES (reference converts
     # ' '->'_' at steps/wikidata_process.sh:114)
     sitelinks: list[tuple[int, int, str, str]] = []  # (item_j, ips_item_id, site_id, page)
-    langlinks: dict[str, list] = {L: [] for L in LANGUAGES}
-    title_of = {L: {i: r[2] for i, r in enumerate(pages[L])} for L in LANGUAGES}
-    pid_of = {L: {i: r[0] for i, r in enumerate(pages[L])} for L in LANGUAGES}
+    langlinks: dict[str, list] = {L: [] for L in languages}
+    title_of = {L: {i: r[2] for i, r in enumerate(pages[L])} for L in languages}
+    pid_of = {L: {i: r[0] for i, r in enumerate(pages[L])} for L in languages}
     for j, chosen in enumerate(item_langs):
         qnum = 1000 + j
         for L, pi in chosen.items():
@@ -190,9 +212,9 @@ def synth_facts(sf: float) -> dict:
                         (pid_of[L][pi], O, title_of[O][po].replace("_", " "))
                     )
         # dirty langlink in an excluded language
-        if j % 50 == 1 and "en" in chosen:
-            langlinks["en"].append(
-                (pid_of["en"][chosen["en"]], EXCLUDED_LANGUAGES[0], f"Fr title {j}")
+        if j % 50 == 1 and L0 in chosen:
+            langlinks[L0].append(
+                (pid_of[L0][chosen[L0]], excluded[0], f"Fr title {j}")
             )
     # dirty sitelinks: excluded site, strip-all-'wiki' quirk (F3), empty title
     sitelinks.append((-1, 77_000_000, "frwiki", "Fr page"))
@@ -398,33 +420,50 @@ def build_documents(facts: dict) -> pa.Table:
     return pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": spans_arr})
 
 
-def ensure_spans_data(sf_dir_or_sf) -> str:
-    """Write (once) the interleaved corpus for a scale factor; return dir."""
+def ensure_spans_data(sf_dir_or_sf, languages: list[str] | None = None) -> str:
+    """Write (once) the interleaved corpus for a scale factor; return dir.
+
+    ``languages`` selects a non-default language configuration (own dir)."""
     from ..config import sf_of, spans_dir_for
 
+    languages = list(languages) if languages else None
     if isinstance(sf_dir_or_sf, str):
         out_dir = spans_dir_for(sf_dir_or_sf)
         sf = sf_of(sf_dir_or_sf)
     else:
         sf = float(sf_dir_or_sf)
         out_dir = f"/root/repo/data/spans_sf{sf:g}"
+    if languages and languages != LANGUAGES:
+        # non-default language set -> its own corpus dir (e.g. the 39-language
+        # production-configuration corpus of tests/test_importance.py)
+        out_dir = f"{out_dir}_l{len(languages)}"
     meta_path = os.path.join(out_dir, "_meta.json")
+    meta_langs = None
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
-                if json.load(f).get("version") == GENERATOR_VERSION:
-                    return out_dir
+                m = json.load(f)
+            meta_langs = m.get("languages")
+            if m.get("version") == GENERATOR_VERSION and (
+                languages is None or meta_langs == languages
+            ):
+                # no explicit language request -> trust the dir's recorded
+                # configuration (a direct spans-dir path, e.g. the
+                # 39-language corpus, must not be silently regenerated with
+                # the default list)
+                return out_dir
         except Exception:
             pass
+    lang_list = languages or meta_langs or LANGUAGES
     os.makedirs(out_dir, exist_ok=True)
-    facts = synth_facts(sf)
+    facts = synth_facts(sf, lang_list)
     table = build_documents(facts)
     pq.write_table(
         table, os.path.join(out_dir, "documents.parquet"),
         row_group_size=ROW_GROUP_SIZE,
     )
     pq.write_table(
-        pa.table({"lang": pa.array(LANGUAGES, pa.string())}),
+        pa.table({"lang": pa.array(lang_list, pa.string())}),
         os.path.join(out_dir, "languages.parquet"),
     )
     pq.write_table(
@@ -437,5 +476,13 @@ def ensure_spans_data(sf_dir_or_sf) -> str:
         os.path.join(out_dir, "place_type_levels.parquet"),
     )
     with open(meta_path, "w") as f:
-        json.dump({"version": GENERATOR_VERSION, "sf": sf, "n_docs": table.num_rows}, f)
+        json.dump(
+            {
+                "version": GENERATOR_VERSION,
+                "sf": sf,
+                "n_docs": table.num_rows,
+                "languages": lang_list,
+            },
+            f,
+        )
     return out_dir
