@@ -85,3 +85,71 @@ def test_streaming_equals_batch(spark, tmp_path_factory):
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_file_sink_resume_no_dup_no_loss(spark, tmp_path_factory):
+    """Scale-path streaming (append parquet sink + checkpointLocation):
+    process half the input, 'restart' the job (fresh query, same
+    checkpoint), deliver the rest — every watermark-closed window is
+    emitted exactly once with batch-equal values, and a further restart
+    with no new data emits nothing."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_spark.queries_training import q_events_tumbling
+    from wikipedia_wikidata_spark.streaming.events import run_stream_file_sink
+
+    root = tmp_path_factory.mktemp("stream_resume")
+    in_dir, out_dir, ck_dir = root / "in", root / "out", root / "ck"
+    in_dir.mkdir()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(in_dir / "part-0.parquet"))
+
+    got1 = {
+        tuple(r)
+        for r in run_stream_file_sink(
+            spark, str(in_dir), str(out_dir), str(ck_dir)
+        ).collect()
+    }
+    assert len(got1) > 0, "first run must emit watermark-closed windows"
+
+    # 'restart': second invocation = fresh streaming query over the same
+    # checkpoint; deliver the remaining data first
+    pq.write_table(t.slice(half), str(in_dir / "part-1.parquet"))
+    got2 = {
+        tuple(r)
+        for r in run_stream_file_sink(
+            spark, str(in_dir), str(out_dir), str(ck_dir)
+        ).collect()
+    }
+    # no duplicates: (window, event_type) keys unique across both runs
+    keys = [(r[0], r[1]) for r in got2]
+    assert len(keys) == len(set(keys)), "restart duplicated windows"
+    assert got1 <= got2 and len(got2) > len(got1)
+
+    # no loss + correct values: every batch window whose end the final
+    # watermark passed is present and value-equal (watermark = max ts - 10
+    # min; 1h tumbling windows)
+    batch = {
+        (r.window_start * 1000000, r.event_type): (r.n_events, r.value_sum_e6)
+        for r in q_events_tumbling(spark, "/root/testdata/sf0.001").collect()
+    }
+    import pyarrow.compute as pc
+
+    max_us = pc.max(t.column("ts")).value  # true max event time (us)
+    got_map = {(r[0], r[1]): (r[2], r[3]) for r in got2}
+    for (ws, et), vals in batch.items():
+        closed = ws + 3600 * 1000000 <= max_us - 600 * 1000000
+        if closed:
+            assert got_map.get((ws, et)) == vals, (ws, et)
+    for k, v in got_map.items():
+        assert batch[k] == v, k
+
+    # idempotent restart with no new data: nothing new emitted
+    got3 = {
+        tuple(r)
+        for r in run_stream_file_sink(
+            spark, str(in_dir), str(out_dir), str(ck_dir)
+        ).collect()
+    }
+    assert got3 == got2

@@ -1,0 +1,74 @@
+"""Declared-schema CSV ingest (S5 read side) + snapshot selection (S2)."""
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from wikipedia_wikidata_spark.sources.catalog import Catalog
+from wikipedia_wikidata_spark.sources.csv_source import (
+    REFERENCE_TABLE_DDL, read_table_csv,
+)
+
+
+def test_csv_declared_schema_ingest(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("csv_src")
+    p = str(d / "pages.csv.gz")
+    with gzip.open(p, "wt") as f:
+        f.write('1,Main_Page\n')
+        f.write('2,"Title, with comma"\n')
+        f.write('3,"He said ""hi"""\n')
+        f.write('4,\n')             # empty -> NULL (COPY ... NULL AS '')
+        f.write('5,Größe_München\n')
+    df = read_table_csv(spark, p, REFERENCE_TABLE_DDL["page"])
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["int", "string"]
+    rows = {r.page_id: r.page_title for r in df.collect()}
+    assert rows == {
+        1: "Main_Page",
+        2: "Title, with comma",
+        3: 'He said "hi"',
+        4: None,
+        5: "Größe_München",
+    }
+
+
+def test_csv_decimal_schema_geo(spark, tmp_path_factory):
+    """The reference's numeric(11,8) lat/lon land as DecimalType at ingest
+    (SURVEY §1.2), not a lossy inferred double."""
+    d = tmp_path_factory.mktemp("csv_geo")
+    p = str(d / "geo.csv")
+    with open(p, "w") as f:
+        f.write("900001,52.51666667,13.38333333\n")
+        f.write("900002,-33.87000000,151.21000000\n")
+    df = read_table_csv(spark, p, REFERENCE_TABLE_DDL["geo_tags"])
+    assert df.schema["gt_lat"].dataType.simpleString() == "decimal(11,8)"
+    got = {r.gt_page_id: str(r.gt_lat) for r in df.collect()}
+    assert got[900001] == "52.51666667"  # exact decimal, no float drift
+
+
+def test_catalog_latest_complete_selection(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cat_latest"))
+    cat = Catalog(root)
+    for k in (1, 2, 3):
+        df = spark.range(k * 10).select(F.col("id"))
+        cat.write(spark, df, "t", fingerprint=f"fp{k}", run_id=f"r{k}")
+    # simulate a commit killed between manifest write and rename: an orphan
+    # tmp dir containing a manifest must not crash listing nor be selected
+    orphan = os.path.join(root, "t", "v00009.tmp-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "_manifest.json"), "w") as f:
+        json.dump({"status": "committed", "rows": 999}, f)
+
+    snaps = cat.snapshots("t")
+    assert [m["version"] for m in snaps] == [1, 2, 3]
+    latest = cat.latest_complete("t")
+    assert latest["version"] == 3 and latest["rows"] == 30
+    # predicate selection: 'latest complete dump matching a condition'
+    # (steps/latest_available_data.sh analog)
+    small = cat.latest_complete("t", lambda m: m["rows"] <= 20)
+    assert small["version"] == 2
+    # a new write garbage-collects the orphan tmp dir
+    cat.write(spark, spark.range(5), "t", fingerprint="fp4", run_id="r4")
+    assert not os.path.exists(orphan)
+    assert cat.latest_complete("t")["version"] == 4

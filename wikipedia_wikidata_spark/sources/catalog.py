@@ -81,6 +81,18 @@ class Catalog:
                 out.append(m)
         return out
 
+    def latest_complete(self, name: str, predicate=None) -> dict | None:
+        """Newest COMMITTED snapshot, optionally filtered by a manifest
+        predicate — the catalog analog of the reference's 'latest complete
+        dump' selection (steps/latest_available_data.sh:54-143 probes dump
+        dates newest-first and picks the first whose every artifact exists;
+        here the manifest IS the completeness record, so the probe is a
+        reverse scan over committed manifests)."""
+        for m in reversed(self.snapshots(name)):
+            if m.get("status") == "committed" and (predicate is None or predicate(m)):
+                return m
+        return None
+
     def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
         """Read a table snapshot; ``version`` = Iceberg VERSION AS OF (None
         = current)."""

@@ -52,7 +52,11 @@ def stream_tumbling_counts(spark: SparkSession, input_dir: str) -> DataFrame:
 
 def run_stream_available_now(spark: SparkSession, input_dir: str, name: str) -> DataFrame:
     """Drain the whole input with Trigger.AvailableNow into a memory sink;
-    returns the final result table (complete mode)."""
+    returns the final result table (complete mode).
+
+    TEST/ORACLE PATH ONLY: complete mode + memory sink keep all state on the
+    driver. The scale path is run_stream_file_sink (append mode, durable
+    checkpoint, watermark-bounded state)."""
     q = (
         stream_tumbling_counts(spark, input_dir)
         .writeStream.format("memory")
@@ -63,3 +67,25 @@ def run_stream_available_now(spark: SparkSession, input_dir: str, name: str) -> 
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_file_sink(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """The production-shaped streaming path: append-mode parquet sink with a
+    durable checkpointLocation. Each invocation drains currently-available
+    files (Trigger.AvailableNow) and emits exactly the windows the advancing
+    watermark has closed; state is bounded by the watermark (not the corpus)
+    and a killed/restarted job resumes from the checkpoint offsets with no
+    duplicated or lost windows (tests/test_pipeline_and_streaming.py)."""
+    q = (
+        stream_tumbling_counts(spark, input_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
