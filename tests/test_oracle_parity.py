@@ -14,8 +14,7 @@ ORACLES = get_oracle_sql()
 def test_every_query_has_oracle_or_is_flagged():
     missing = [k for k in QUERIES if k not in ORACLES]
     # non-SQL-expressible ops are allowed to miss an oracle; keep the list tiny
-    allowed = {"spans_roundtrip", "multimodal_features", "streaming_sessionize",
-               "checkpoint_lineage"}
+    allowed = {"spans_roundtrip", "checkpoint_lineage"}
     assert set(missing) <= allowed, f"queries missing oracles: {missing}"
 
 

@@ -152,6 +152,35 @@ def test_cell_codec_properties():
     assert (unpart(m >> 1) == y).all()
 
 
+def test_tile_cell_cover_zoom_finer_than_cells(spark):
+    """zoom > cell bits: a tile FINER than the cell grid covers exactly one
+    cell column (advice round 1: the long-cast fac=0 emitted descending
+    ranges and negative cell ids)."""
+    from wikipedia_wikidata_spark.operators.tiles import tile_cell_cover
+
+    bits = CELL_RES_BITS[5]  # 12
+    tiles = spark.createDataFrame(
+        [(13, 4100, 2900), (13, 0, 0), (4, 3, 2)],
+        "zoom int, tile_x bigint, tile_y bigint",
+    )
+    rows = tile_cell_cover(tiles, res=5).collect()
+    assert all(r.cell_id >= 0 for r in rows)
+    by_tile = {}
+    for r in rows:
+        by_tile.setdefault((r.zoom, r.tile_x, r.tile_y), []).append(r.cell_id)
+    for (z, tx, ty), cells in by_tile.items():
+        xs = {(c >> 29) & ((1 << 29) - 1) for c in cells}
+        if z > bits:
+            # fine tile -> exactly one covering cell, at the right column
+            assert len(cells) == 1, (z, tx, ty, cells)
+            assert xs == {tx // (1 << (z - bits))}, (tx, xs)
+        else:
+            # coarse tile -> the exact 2^(bits-z) column range
+            assert xs == set(
+                range(tx * (1 << (bits - z)), (tx + 1) * (1 << (bits - z)))
+            ), (z, tx, xs)
+
+
 def test_span_sequence_invariant(spark):
     """input_hint: after transformation, per-doc (kind,text,media_ref,offset)
     sequence must equal the input exactly."""

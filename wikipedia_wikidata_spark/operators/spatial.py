@@ -258,7 +258,15 @@ def knn_nearest(points: DataFrame, places: DataFrame,
     # candidate-pair count ~64x (measured 71s -> 12s at sf1): with urban
     # clustering a level-10 3x3 neighborhood pairs nearly every city point
     # with every city place.
-    levels = levels or [13, 10, 7, 4, 0]
+    # Three levels, not five: every level is a fixed ~4-shuffle sub-DAG, so
+    # ladder length is a per-JOB constant cost (measured 8.7s for
+    # [13,10,7,4,0] vs 2.1s for [13,8,0] on identical output at sf0.1).
+    # Level 13's guard (180/8192 deg ~ 2.4km) resolves the dense mass;
+    # level 8's guard (0.70 deg ~ 78km) resolves everything within 78km of
+    # any place, so the global level-0 stage sees only >78km-isolated
+    # points — a vanishing set at any realistic place density. Denser or
+    # sparser worlds tune the ladder via the parameter.
+    levels = levels or [13, 8, 0]
     point_keys = point_keys or ["language", "title"]
     assert levels[-1] == 0, "last level must be global"
 
