@@ -153,3 +153,65 @@ def test_streaming_file_sink_resume_no_dup_no_loss(spark, tmp_path_factory):
         ).collect()
     }
     assert got3 == got2
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path_factory):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    sessionization with event-time timeout. Every session the watermark
+    closed — by a gap-exceeding successor OR by timeout after the user went
+    quiet — must be emitted exactly once with values matching an
+    independent pandas oracle; state is watermark-bounded."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_spark.streaming.sessions import (
+        SESSION_GAP_S, run_sessionize_available_now, sessions_pandas_oracle,
+    )
+
+    root = tmp_path_factory.mktemp("sessionize")
+    in_dir, out_dir, ck_dir = root / "in", root / "out", root / "ck"
+    in_dir.mkdir()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(in_dir / "part-0.parquet"))
+    got1 = {
+        tuple(r)
+        for r in run_sessionize_available_now(
+            spark, str(in_dir), str(out_dir), str(ck_dir)
+        ).collect()
+    }
+    assert len(got1) > 0
+    # restart with the rest of the input (checkpointed state carries over)
+    pq.write_table(t.slice(half), str(in_dir / "part-1.parquet"))
+    got2 = {
+        tuple(r)
+        for r in run_sessionize_available_now(
+            spark, str(in_dir), str(out_dir), str(ck_dir)
+        ).collect()
+    }
+    assert got1 <= got2 and len(got2) > len(got1)
+    keys = [(r[0], r[1]) for r in got2]
+    assert len(keys) == len(set(keys)), "duplicate sessions across restarts"
+
+    ev = pd.DataFrame(
+        {
+            "user_id": t.column("user_id").to_pandas(),
+            "ts_us": pd.Series(
+                [v.value for v in pc.cast(t.column("ts"), "timestamp[us]")],
+                dtype="int64",
+            ),
+        }
+    )
+    expected = sessions_pandas_oracle(ev)
+    max_us = pc.max(t.column("ts")).value
+    wm_final = max_us - 600 * 1_000_000
+    exp_map = {(u, s): (e, n) for u, s, e, n in expected}
+    got_map = {(r[0], r[1]): (r[2], r[3]) for r in got2}
+    # no false sessions, values exact
+    for k, v in got_map.items():
+        assert exp_map.get(k) == v, (k, v, exp_map.get(k))
+    # every session provably closed by the final watermark is present
+    for (u, s), (e, n) in exp_map.items():
+        if e + SESSION_GAP_S * 1_000_000 <= wm_final:
+            assert got_map.get((u, s)) == (e, n), (u, s)

@@ -57,6 +57,51 @@ def test_whole_stage_codegen_in_extraction(spark):
     assert "codegen id" in p, p  # '* Project [codegen id : 1]' spans the stage
 
 
+def test_scale_paths_have_no_cartesian_plans(spark):
+    """The scale-path operators must contain no BroadcastNestedLoopJoin /
+    CartesianProduct: ANN, PIP join, kNN, and the LSH dedup are all
+    equi-join shaped (the round-1 brute-force cosine was the one offender
+    and is now exact-baseline-only)."""
+    from wikipedia_wikidata_spark.operators.dedup import (
+        augment_docs, minhash_candidates,
+    )
+    from wikipedia_wikidata_spark.operators.extract import (
+        extract_views, load_documents,
+    )
+    from wikipedia_wikidata_spark.operators.similarity import ann_lsh_topk
+    from wikipedia_wikidata_spark.operators.spatial import knn_nearest, pip_join
+
+    v = extract_views(load_documents(spark, SF_DIR_SMALL))
+    # lineage-free point set (geo view only): the importance lineage would
+    # legitimately contribute its 1-row scalar-max broadcast cross join,
+    # which is not what this test inspects
+    pts = v["geo_tags"].select(
+        "gt_page_id",
+        F.col("gt_lat").alias("lat"),
+        F.col("gt_lon").alias("lon"),
+    )
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    plans = {
+        "ann": _plan(ann_lsh_topk(emb, n_planes=4)),
+        "pip": _plan(pip_join(pts, v["polygons"].select("item", "verts"), res=5)),
+        "knn": _plan(
+            knn_nearest(
+                pts,
+                pts.select(
+                    F.col("gt_page_id").alias("item"), "lat", "lon"
+                ),
+                point_keys=["gt_page_id"],
+                materialize=False,
+            )
+        ),
+        "minhash": _plan(minhash_candidates(augment_docs(docs))),
+    }
+    for name, p in plans.items():
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
 def test_tsv_sink_roundtrip(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("tsv") / "wikimedia_importance.tsv.gz")
     wmi = run_importance(spark, SF_DIR_SMALL)
