@@ -27,20 +27,10 @@ def test_ngram_jaccard_recovers_planted_pairs(spark):
     assert all(v >= 600000 for v in got.values())
 
 
-def test_ann_lsh_recall_on_near_neighbors(spark):
-    """ANN recall contract: for queries that HAVE a true near neighbor
-    (planted at cosine ~0.94 — inside the regime hyperplane-LSH covers),
-    multi-table data-dependent LSH must find it with recall@1 >= 0.9.
-
-    Ground truth is numpy brute force. The base corpus is isotropic random
-    (top-1 cosine ~0.41) where no sublinear index can be accurate — that
-    regime belongs to the exact cosine_topk path and is intentionally NOT
-    asserted here (see operators/similarity.py docstring)."""
+def _planted_corpus(spark):
+    """Base embeddings + queries planted at ~20 degrees from sampled base
+    vectors; returns (spark DF of both, query ids, numpy ground-truth map)."""
     import numpy as np
-
-    from wikipedia_wikidata_spark.operators.similarity import (
-        ann_lsh_topk, n_planes_for,
-    )
 
     emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -49,7 +39,6 @@ def test_ann_lsh_recall_on_near_neighbors(spark):
     V = np.vstack(base.embedding.to_numpy())
     ids = base.vec_id.to_numpy()
     rng = np.random.default_rng(99)
-    # plant queries at a ~20-degree angle from a sampled base vector
     q_idx = rng.choice(len(V), size=min(120, len(V)), replace=False)
     theta = np.deg2rad(20.0)
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -66,23 +55,54 @@ def test_ann_lsh_recall_on_near_neighbors(spark):
         + [(int(i), [float(x) for x in row]) for i, row in zip(q_ids, P)],
         "vec_id bigint, embedding array<double>",
     )
-    n_planes = n_planes_for(len(V) + len(P))
-    top1 = {
-        r.q_id: r.n_id
-        for r in ann_lsh_topk(both, k=1, n_planes=n_planes).collect()
-    }
-    # numpy ground truth: each planted query's true nearest base vector
     allV = np.vstack([Vn, P])
     all_ids = np.concatenate([ids, q_ids])
     S = P @ allV.T
-    hits = 0
+    truth = {}
     for row, qid in enumerate(q_ids):
         order = np.argsort(-S[row])
-        truth = next(int(all_ids[j]) for j in order if all_ids[j] != qid)
-        if top1.get(int(qid)) == truth:
-            hits += 1
-    recall = hits / len(q_ids)
-    assert recall >= 0.9, f"ANN recall@1 {recall:.2f} < 0.9"
+        truth[int(qid)] = next(
+            int(all_ids[j]) for j in order if all_ids[j] != qid
+        )
+    return both, q_ids, truth, len(ids) + len(q_ids)
+
+
+def _recall_at_1(top1, q_ids, truth) -> float:
+    hits = sum(top1.get(int(q)) == truth[int(q)] for q in q_ids)
+    return hits / len(q_ids)
+
+
+def test_ann_lsh_recall_on_near_neighbors(spark):
+    """ANN recall contract: for queries that HAVE a true near neighbor
+    (planted at cosine ~0.94 — inside the regime hyperplane-LSH covers),
+    multi-table data-dependent LSH must find it with recall@1 >= 0.9.
+
+    Ground truth is numpy brute force. The base corpus is isotropic random
+    (top-1 cosine ~0.41) where no sublinear index can be accurate — that
+    regime belongs to the exact cosine_topk path and is intentionally NOT
+    asserted here (see operators/similarity.py docstring)."""
+    from wikipedia_wikidata_spark.operators.similarity import (
+        ann_lsh_topk, n_planes_for,
+    )
+
+    both, q_ids, truth, n_total = _planted_corpus(spark)
+    top1 = {
+        r.q_id: r.n_id
+        for r in ann_lsh_topk(both, k=1, n_planes=n_planes_for(n_total)).collect()
+    }
+    recall = _recall_at_1(top1, q_ids, truth)
+    assert recall >= 0.9, f"LSH ANN recall@1 {recall:.2f} < 0.9"
+
+
+def test_ann_ivf_recall_on_near_neighbors(spark):
+    """Same recall contract for the IVF variant (sqrt(N) centroids, Arrow-
+    batched matmul assignment, nprobe probing)."""
+    from wikipedia_wikidata_spark.operators.similarity import ann_ivf_topk
+
+    both, q_ids, truth, _ = _planted_corpus(spark)
+    top1 = {r.q_id: r.n_id for r in ann_ivf_topk(both, k=1).collect()}
+    recall = _recall_at_1(top1, q_ids, truth)
+    assert recall >= 0.9, f"IVF ANN recall@1 {recall:.2f} < 0.9"
 
 
 def test_emb_near_dup_recovers_planted_pairs(spark):

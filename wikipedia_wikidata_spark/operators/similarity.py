@@ -26,6 +26,7 @@ that AQE can re-plan — no custom strategies needed.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -85,6 +86,98 @@ def cosine_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = 10) -> DataFram
     )
     j = q.join(base.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")),
                F.col("q_id") != F.col("n_id"))
+    cos = _dot(F.col("q_emb"), F.col("n_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("n_emb"))
+    )
+    j = j.withColumn("_cos", cos)
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("n_id"))
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("_rk").cast("bigint").alias("rank"),
+            F.floor(F.col("_cos") * 1000000.0 + 0.5).cast("bigint").alias("cosine_e6"),
+        )
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: stride-sampled seed vectors
+    refined by one numpy Lloyd iteration over a bounded sample (at most
+    64*n_centroids rows — driver memory stays O(C*DIM) however large the
+    corpus; at 10^9 rows C=sqrt(N)~32k centroids is a few MB broadcast)."""
+    n = emb.count()
+    stride = max(1, n // n_centroids)
+    seeds = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select("embedding")
+        .toPandas()
+    )
+    C = np.vstack(seeds["embedding"].to_numpy()).astype(np.float64)
+    sample = (
+        emb.filter(F.col("vec_id") % max(1, n // (64 * n_centroids)) == 0)
+        .select("embedding")
+        .toPandas()
+    )
+    S = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    assign = np.argmax(Sn @ Cn.T, axis=1)
+    for c in range(len(C)):
+        m = assign == c
+        if m.any():
+            C[c] = S[m].mean(axis=0)
+    return C
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize every vector to its nearest
+    centroid (Arrow-batched numpy matmul — one pass, no shuffle), probe the
+    nprobe nearest centroid lists per query, re-rank exactly within the
+    probed lists. Equi-join on centroid_id — broadcast/AQE-replannable;
+    candidate work per query is nprobe/C of the corpus, so total work stays
+    ~linear when C tracks sqrt(N) (the classic IVF operating point)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    base = emb.select("vec_id", "embedding")
+    if n_centroids is None:
+        n_centroids = max(4, int(np.sqrt(base.count())))
+    C = ivf_centroids(base, n_centroids)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).astype(np.float64)
+
+    @pandas_udf(IntegerType())
+    def assign_centroid(v):
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(np.argmax(V @ Cn.T, axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_centroids(v):
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        top = np.argsort(-(V @ Cn.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    inv = base.withColumn("centroid_id", assign_centroid("embedding"))
+    q = base.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_centroids("embedding")).alias("centroid_id"),
+    )
+    n = inv.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "centroid_id"
+    )
+    j = q.join(n, "centroid_id").filter(F.col("q_id") != F.col("n_id"))
     cos = _dot(F.col("q_emb"), F.col("n_emb")) / (
         _norm(F.col("q_emb")) * _norm(F.col("n_emb"))
     )
