@@ -47,6 +47,38 @@ def test_csv_decimal_schema_geo(spark, tmp_path_factory):
     assert got[900001] == "52.51666667"  # exact decimal, no float drift
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Co-located join: both sides bucketed+sorted on the join key with the
+    same bucket count -> SortMergeJoin with ZERO Exchange (the pay-the-
+    shuffle-once-at-write-time layout for repeated 100-TB fact joins)."""
+    from wikipedia_wikidata_spark.sources.bucketed import (
+        colocated_join, save_bucketed,
+    )
+
+    d = tmp_path_factory.mktemp("bucketed")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    save_bucketed(o, "t_orders_b", "o_orderkey", str(d / "orders"), 8)
+    save_bucketed(li, "t_lineitem_b", "l_orderkey", str(d / "lineitem"), 8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = colocated_join(
+                spark, "t_lineitem_b", "t_orders_b", "l_orderkey", "o_orderkey"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == li.join(
+                o, li.l_orderkey == o.o_orderkey
+            ).count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_catalog_latest_complete_selection(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("cat_latest"))
     cat = Catalog(root)

@@ -74,10 +74,6 @@ def lsh_bucket_col(vec_col: str, n_planes: int = N_PLANES, table: int = 0) -> Co
     return bucket
 
 
-def with_lsh_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return emb.withColumn("lsh_bucket", lsh_bucket_col(vec_col))
-
-
 def cosine_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for every query_mod-th vector."""
     base = emb.select("vec_id", "embedding")
@@ -219,14 +215,48 @@ def augment_emb(emb: DataFrame) -> DataFrame:
     return base.unionByName(exact).unionByName(pert)
 
 
-def emb_near_dup(emb: DataFrame, t: float = NEAR_DUP_T) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking (equi-join
-    on bucket id — broadcastable/AQE-replannable at scale) then exact cosine
-    within bucket, thresholded at t. Output (vec_a, vec_b, cosine_e6)."""
-    b = with_lsh_bucket(augment_emb(emb), vec_col="emb_d")
-    qa = b.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("_ea"), "lsh_bucket")
-    qb = b.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("_eb"), "lsh_bucket")
-    j = qa.join(qb, "lsh_bucket").filter(F.col("vec_a") < F.col("vec_b"))
+def emb_near_dup(
+    emb: DataFrame,
+    t: float = NEAR_DUP_T,
+    n_planes: int | None = None,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table data-dependent LSH
+    blocking (same geometry rationale as ann_lsh_topk — bucket population
+    tracks TARGET_BUCKET at any corpus size, and T independent tables keep
+    recall high for true >=t pairs as n_planes grows with N, where the
+    round-1 single fixed-8-plane table would lose them), then exact cosine
+    within the DISTINCT candidate union, thresholded at t.
+    Output (vec_a, vec_b, cosine_e6)."""
+    b = augment_emb(emb)
+    if n_planes is None:
+        # geometry derives from the BASE corpus size (mirrorable from the
+        # parquet footer by the DuckDB oracle without counting aug rows)
+        n_planes = n_planes_for(emb.count())
+    tb = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(tt).alias("lsh_table"),
+                lsh_bucket_col("emb_d", n_planes, tt).alias("lsh_bucket"),
+            )
+            for tt in range(n_tables)
+        ])
+    ).alias("_tb")
+    allb = b.select("vec_id", tb).select(
+        "vec_id", F.col("_tb.lsh_table").alias("lsh_table"),
+        F.col("_tb.lsh_bucket").alias("lsh_bucket"),
+    )
+    qa = allb.select(F.col("vec_id").alias("vec_a"), "lsh_table", "lsh_bucket")
+    qb = allb.select(F.col("vec_id").alias("vec_b"), "lsh_table", "lsh_bucket")
+    pairs = (
+        qa.join(qb, ["lsh_table", "lsh_bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    ea = b.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("_ea"))
+    eb = b.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("_eb"))
+    j = pairs.join(ea, "vec_a").join(eb, "vec_b")
     cos = _dot(F.col("_ea"), F.col("_eb")) / (_norm(F.col("_ea")) * _norm(F.col("_eb")))
     return (
         j.withColumn("_cos", cos)

@@ -129,23 +129,31 @@ SELECT doc_a, doc_b, CAST(floor(_jac * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
 FROM v WHERE _jac >= {t}"""
 
 
-def emb_near_dup_sql(t: float = 0.9) -> str:
-    """LSH-blocked embedding-cosine near-dup pairs with planted dups
-    (mirrors operators/similarity.py augment_emb + emb_near_dup)."""
-    from .operators.similarity import plane_weights
+def emb_near_dup_sql(t: float = 0.9, sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Multi-table data-dependent LSH-blocked embedding-cosine near-dup
+    pairs with planted dups (mirrors operators/similarity.py augment_emb +
+    emb_near_dup; geometry derived from the base parquet footer)."""
+    from .operators.similarity import N_TABLES, n_planes_for, plane_weights
 
-    w = plane_weights()
-    terms = []
-    for p in range(N_PLANES):
-        arr = "[" + ", ".join(repr(float(x)) for x in w[p]) + "]"
-        proj = dot_sql("emb_d", f"({arr})")
-        terms.append(
-            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    n_planes = n_planes_for(embeddings_rows(sf_dir))
+    table_rows = []
+    for tt in range(N_TABLES):
+        w = plane_weights(n_planes, tt)
+        terms = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in w[p]) + "]"
+            proj = dot_sql("emb_d", f"({arr})")
+            terms.append(
+                f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        bucket = " + ".join(terms)
+        table_rows.append(
+            f"SELECT vec_id, {tt} AS lsh_table, {bucket} AS lsh_bucket FROM aug"
         )
-    bucket = " + ".join(terms)
-    dot = dot_sql("a.emb_d", "b2.emb_d")
-    na = f"sqrt({dot_sql('a.emb_d', 'a.emb_d')})"
-    nb = f"sqrt({dot_sql('b2.emb_d', 'b2.emb_d')})"
+    buckets = "\n  UNION ALL\n  ".join(table_rows)
+    dot = dot_sql("ea.emb_d", "eb.emb_d")
+    na = f"sqrt({dot_sql('ea.emb_d', 'ea.emb_d')})"
+    nb = f"sqrt({dot_sql('eb.emb_d', 'eb.emb_d')})"
     return f"""WITH base AS (
   SELECT vec_id, {_emb_d()} AS emb_d FROM embeddings
 ),
@@ -156,11 +164,18 @@ aug AS (
   UNION ALL
   SELECT vec_id + 2000000, [emb_d[1] + 0.05] || emb_d[2:{DIM}] FROM base WHERE vec_id % 7 = 0
 ),
-b AS (SELECT vec_id, emb_d, {bucket} AS lsh_bucket FROM aug),
+bt AS (
+  {buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM bt a JOIN bt b2 USING (lsh_table, lsh_bucket) WHERE a.vec_id < b2.vec_id
+),
 j AS (
-  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         {dot} / ({na} * {nb}) AS _cos
-  FROM b a JOIN b b2 USING (lsh_bucket) WHERE a.vec_id < b2.vec_id
+  SELECT vec_a, vec_b, {dot} / ({na} * {nb}) AS _cos
+  FROM cand
+  JOIN aug ea ON cand.vec_a = ea.vec_id
+  JOIN aug eb ON cand.vec_b = eb.vec_id
 )
 SELECT vec_a, vec_b, CAST(floor(_cos * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
 FROM j WHERE _cos >= {t}"""

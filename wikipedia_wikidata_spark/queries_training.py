@@ -41,9 +41,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_emb_near_dup(spark, sf_dir):
-    from .operators.similarity import emb_near_dup
+    from .operators.similarity import emb_near_dup, n_planes_for
+    from .oracle_training import embeddings_rows
 
-    return emb_near_dup(_emb(spark, sf_dir))
+    return emb_near_dup(
+        _emb(spark, sf_dir), n_planes=n_planes_for(embeddings_rows(sf_dir))
+    )
 
 
 def q_emb_cosine_topk(spark, sf_dir):
