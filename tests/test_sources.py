@@ -104,3 +104,31 @@ def test_catalog_latest_complete_selection(spark, tmp_path_factory):
     cat.write(spark, spark.range(5), "t", fingerprint="fp4", run_id="r4")
     assert not os.path.exists(orphan)
     assert cat.latest_complete("t")["version"] == 4
+
+
+def test_json_props_declared_schema(spark, ddb):
+    """Semi-structured extraction: from_json with a DECLARED schema over the
+    events.props JSON column, aggregated per event type; DuckDB json oracle."""
+    from wikipedia_wikidata_spark.operators.text import props_stats
+
+    from .conftest import SF_DIR, compare_frames
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = props_stats(ev)
+    exp = ddb.execute(
+        """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+         AS k_distinct
+FROM events GROUP BY event_type"""
+    ).fetchdf()
+    compare_frames(got, exp, "props_stats")
+    # malformed JSON -> NULL field, not an error (PERMISSIVE analog)
+    from wikipedia_wikidata_spark.operators.text import parse_props
+
+    bad = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None)], "event_id long, props string"
+    )
+    rows = {r.event_id: r.props_k for r in parse_props(bad).collect()}
+    assert rows == {1: 5, 2: None, 3: None}

@@ -108,3 +108,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         hash60_col(norm).alias("fingerprint60"),
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
     )
+
+
+# Declared-schema semi-structured extraction: the events table carries a JSON
+# string column (props). Like every other reader in this engine the schema is
+# DECLARED, never inferred (SURVEY §1.1) — from_json with a DDL schema keeps
+# the parse inside whole-stage codegen (Jackson on the JVM, no Python), and a
+# malformed document yields NULL fields, mirroring PERMISSIVE CSV.
+PROPS_SCHEMA = "k INT"
+
+
+def parse_props(events: DataFrame) -> DataFrame:
+    """events + parsed props fields (props_k) via from_json(PROPS_SCHEMA)."""
+    return events.withColumn(
+        "props_k", F.from_json(F.col("props"), PROPS_SCHEMA)["k"]
+    )
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type aggregate over the JSON-extracted field."""
+    return (
+        parse_props(events)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("props_k").cast("bigint").alias("k_sum"),
+            F.countDistinct("props_k").alias("k_distinct"),
+        )
+    )
