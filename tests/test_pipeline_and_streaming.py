@@ -50,6 +50,30 @@ def test_pipeline_resume(spark, tmp_path_factory):
         Catalog(out).read(spark, "importance").count() == r1["importance"]["rows"]
     )
 
+    # kill DURING a stage write: committed snapshot gone, only a half-written
+    # tmp dir remains -> the next run must list snapshots without crashing,
+    # GC the orphan, and recompute the stage
+    import os
+    import shutil
+
+    tdir = os.path.join(out, "tiles")
+    for d in list(os.listdir(tdir)):
+        full = os.path.join(tdir, d)
+        if d.startswith("v") or d.startswith("_"):
+            shutil.rmtree(full, ignore_errors=True)
+            if os.path.isfile(full):
+                os.remove(full)
+    orphan = os.path.join(tdir, "v00001.tmp-deadbeef")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "_manifest.json"), "w") as f:
+        import json as _json
+
+        _json.dump({"status": "committed", "rows": 1}, f)
+    r3 = run_pipeline(spark, SF_DIR_SMALL, out)
+    assert not r3["tiles"]["skipped"] and r3["tiles"]["rows"] > 0
+    assert r3["scored"]["skipped"]
+    assert not os.path.exists(orphan)
+
 
 def test_multimodal_stub(spark):
     from wikipedia_wikidata_spark.operators.extract import load_documents
