@@ -69,6 +69,12 @@ def test_pipeline_resume(spark, tmp_path_factory):
         import json as _json
 
         _json.dump({"status": "committed", "rows": 1}, f)
+    import time as _time
+
+    from wikipedia_wikidata_spark.sources.catalog import TMP_GC_AGE_S
+
+    _old = _time.time() - TMP_GC_AGE_S - 60
+    os.utime(orphan, (_old, _old))
     r3 = run_pipeline(spark, SF_DIR_SMALL, out)
     assert not r3["tiles"]["skipped"] and r3["tiles"]["rows"] > 0
     assert r3["scored"]["skipped"]
@@ -177,6 +183,65 @@ def test_streaming_file_sink_resume_no_dup_no_loss(spark, tmp_path_factory):
         ).collect()
     }
     assert got3 == got2
+
+
+def test_stateful_sessionize_out_of_order_bridge(spark, tmp_path_factory):
+    """A late-but-admissible event (>= watermark, later micro-batch) that
+    BRIDGES two provisional sessions must merge them into one — the folded
+    (start,last,n) state design emits the first half early and corrupts on
+    the regression; the buffered design must get it right. Also exercises a
+    drain that closes zero sessions (empty sink + explicit schema read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_spark.streaming.sessions import (
+        run_sessionize_available_now,
+    )
+
+    root = tmp_path_factory.mktemp("sess_ooo")
+    in_dir, out_dir, ck_dir = root / "in", root / "out", root / "ck"
+    in_dir.mkdir()
+
+    def write_events(name, rows):
+        # rows: (event_id, ts_seconds, user_id)
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(t, str(in_dir / name))
+
+    # batch 1: u1 at 12000s and 14200s (2200s apart -> provisionally TWO
+    # sessions); watermark after the run = 14200 - 600 = 13600s
+    write_events("b1.parquet", [(1, 12000, 1), (2, 14200, 1), (3, 13000, 99)])
+    got1 = run_sessionize_available_now(
+        spark, str(in_dir), str(out_dir), str(ck_dir)
+    ).collect()
+    assert got1 == [], "nothing is closable while the watermark is behind"
+
+    # batch 2: u1's LATE event at 13700s (>= watermark 13600, out of order
+    # vs the already-seen 14200) bridges the two provisional sessions
+    # (1700s and 500s gaps, both < 1800); u99 at 20000s pushes the final
+    # watermark to 19400s so the merged session closes
+    write_events("b2.parquet", [(4, 13700, 1), (5, 20000, 99)])
+    got2 = {
+        tuple(r)
+        for r in run_sessionize_available_now(
+            spark, str(in_dir), str(out_dir), str(ck_dir)
+        ).collect()
+    }
+    assert got2 == {
+        # u1: ONE merged session (the bridge worked)
+        (1, 12000 * 1_000_000, 14200 * 1_000_000, 3),
+        # u99: first session closed by watermark 19400 > 13000+1800;
+        # the 20000s session stays open
+        (99, 13000 * 1_000_000, 13000 * 1_000_000, 1),
+    }, got2
 
 
 def test_stateful_streaming_sessionize(spark, tmp_path_factory):

@@ -91,6 +91,13 @@ def test_catalog_latest_complete_selection(spark, tmp_path_factory):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "_manifest.json"), "w") as f:
         json.dump({"status": "committed", "rows": 999}, f)
+    # backdate past the GC age gate (young tmp dirs may be a live writer's)
+    import time as _time
+
+    from wikipedia_wikidata_spark.sources.catalog import TMP_GC_AGE_S
+
+    old = _time.time() - TMP_GC_AGE_S - 60
+    os.utime(orphan, (old, old))
 
     snaps = cat.snapshots("t")
     assert [m["version"] for m in snaps] == [1, 2, 3]

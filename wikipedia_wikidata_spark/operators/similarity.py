@@ -99,12 +99,13 @@ def cosine_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = 10) -> DataFram
     )
 
 
-def ivf_centroids(emb: DataFrame, n_centroids: int) -> np.ndarray:
+def ivf_centroids(emb: DataFrame, n_centroids: int, n_rows: int | None = None) -> np.ndarray:
     """Deterministic IVF coarse quantizer: stride-sampled seed vectors
     refined by one numpy Lloyd iteration over a bounded sample (at most
     64*n_centroids rows — driver memory stays O(C*DIM) however large the
-    corpus; at 10^9 rows C=sqrt(N)~32k centroids is a few MB broadcast)."""
-    n = emb.count()
+    corpus; at 10^9 rows C=sqrt(N)~32k centroids is a few MB broadcast).
+    Pass n_rows when already known to avoid a second count job."""
+    n = n_rows if n_rows is not None else emb.count()
     stride = max(1, n // n_centroids)
     seeds = (
         emb.filter(F.col("vec_id") % stride == 0)
@@ -146,9 +147,10 @@ def ann_ivf_topk(
     from pyspark.sql.types import ArrayType, IntegerType
 
     base = emb.select("vec_id", "embedding")
+    n_rows = base.count()
     if n_centroids is None:
-        n_centroids = max(4, int(np.sqrt(base.count())))
-    C = ivf_centroids(base, n_centroids)
+        n_centroids = max(4, int(np.sqrt(n_rows)))
+    C = ivf_centroids(base, n_centroids, n_rows=n_rows)
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).astype(np.float64)
 
     @pandas_udf(IntegerType())

@@ -330,9 +330,12 @@ def knn_nearest(points: DataFrame, places: DataFrame,
             )
         )
         # persist per level: without it the cascading remaining/accepted
-        # lineage recomputes every earlier level (exponential blowup)
-        best = best.persist()
-        cached.append(best)
+        # lineage recomputes every earlier level (exponential blowup).
+        # Lazy mode (materialize=False) is plan-inspection only and must not
+        # register caches nobody can release.
+        if materialize:
+            best = best.persist()
+            cached.append(best)
         if b > 0:
             guard = (180.0 / n) ** 2
             accepted = best.filter(F.col("_d2") <= F.lit(guard))
@@ -353,8 +356,9 @@ def knn_nearest(points: DataFrame, places: DataFrame,
     for r in results[1:]:
         out = out.unionByName(r)
     if not materialize:
-        # caller owns the per-level caches (lazy mode; used by tests that
-        # inspect the unevaluated plan)
+        # PLAN-INSPECTION ONLY: nothing is persisted in this mode, so
+        # executing the returned DataFrame recomputes every earlier level
+        # per level (exponential) — use the default for real runs.
         return out
     # Materialize the union ONCE while the per-level caches are hot, then
     # drop them: without this every knn_nearest call leaked len(levels)

@@ -239,10 +239,16 @@ FROM r WHERE _rk <= {k}"""
 def embeddings_rows(sf_dir: str = "/root/testdata/sf0.01") -> int:
     """Row count from the parquet footer (no data read) — the deterministic
     input both engines feed to n_planes_for, so Spark and the oracle build
-    the identical data-dependent LSH geometry."""
+    the identical data-dependent LSH geometry. Falls back to the sf0.01 row
+    count (500) when the file is absent so importing the registry on a host
+    without the driver corpus cannot crash (the fallback only matters for
+    the oracle strings, which are defined against sf0.01 anyway)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    try:
+        return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    except Exception:
+        return 500
 
 
 def ann_lsh_sql(k: int = 3, sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -347,6 +353,11 @@ SELECT doc_id, n_words, stopword_hits,
 FROM m"""
 
 
+# NOTE: these oracle strings are defined against the driver's sf0.01 views
+# (the correctness-gate contract); the LSH entries bake in the n_planes
+# derived from sf0.01's row count. Comparing them against a query run at a
+# different sf would use the wrong geometry — pass sf_dir to
+# ann_lsh_sql()/emb_near_dup_sql() explicitly for that.
 TRAINING_ORACLES: dict[str, str] = {
     "dedup_exact": f"""WITH {AUG}
 SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,

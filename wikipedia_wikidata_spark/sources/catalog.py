@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Orphaned-commit tmp dirs older than this are reclaimed by the next write;
+# younger ones may belong to a live concurrent writer.
+TMP_GC_AGE_S = 6 * 3600
+
+
 class Catalog:
     def __init__(self, root: str):
         self.root = root
@@ -70,9 +75,11 @@ class Catalog:
         root = self.path(name)
         if not os.path.isdir(root):
             return out
-        for d in sorted(os.listdir(root)):
-            if not re.fullmatch(r"v\d{5}", d):
-                continue
+        # 5+ digits: f"v{version:05d}" grows to 6 digits past 99,999 commits;
+        # sort NUMERICALLY (lexicographic order breaks at the width change:
+        # 'v100000' < 'v99999')
+        vdirs = [d for d in os.listdir(root) if re.fullmatch(r"v\d{5,}", d)]
+        for d in sorted(vdirs, key=lambda d: int(d[1:])):
             mp = os.path.join(root, d, "_manifest.json")
             if os.path.isfile(mp):
                 with open(mp) as f:
@@ -117,10 +124,20 @@ class Catalog:
         t0 = time.time()
         root = self.path(name)
         os.makedirs(root, exist_ok=True)
-        # garbage-collect tmp dirs orphaned by a previously killed commit
+        # garbage-collect tmp dirs orphaned by a previously KILLED commit —
+        # age-gated so a concurrent writer's in-flight tmp dir (uuid-named,
+        # actively being written) is never deleted from under it
+        now = time.time()
         for d in os.listdir(root):
-            if ".tmp-" in d:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            if ".tmp-" not in d:
+                continue
+            p = os.path.join(root, d)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age > TMP_GC_AGE_S:
+                shutil.rmtree(p, ignore_errors=True)
         cur = self._current(name)
         version = (cur["version"] + 1) if cur else 1
         vdir = os.path.join(root, f"v{version:05d}")

@@ -435,8 +435,11 @@ def ensure_spans_data(sf_dir_or_sf, languages: list[str] | None = None) -> str:
         out_dir = f"/root/repo/data/spans_sf{sf:g}"
     if languages and languages != LANGUAGES:
         # non-default language set -> its own corpus dir (e.g. the 39-language
-        # production-configuration corpus of tests/test_importance.py)
-        out_dir = f"{out_dir}_l{len(languages)}"
+        # production-configuration corpus of tests/test_importance.py), keyed
+        # by CONTENT (two same-length language sets must not share a dir and
+        # thrash full regenerations on every alternation)
+        tag = hashlib.md5(",".join(languages).encode()).hexdigest()[:8]
+        out_dir = f"{out_dir}_l{len(languages)}_{tag}"
     meta_path = os.path.join(out_dir, "_meta.json")
     meta_langs = None
     if os.path.exists(meta_path):

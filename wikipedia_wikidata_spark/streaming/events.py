@@ -88,4 +88,8 @@ def run_stream_file_sink(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # explicit schema: a drain that closed zero windows leaves only
+    # _spark_metadata in the sink and schema inference would fail
+    return spark.read.schema(
+        "window_start_us long, event_type string, n_events long, value_sum_e6 long"
+    ).parquet(out_dir)

@@ -2,13 +2,15 @@
 applyInPandasWithState (SURVEY.md §2.8 target extension).
 
 Not expressible as a windowed aggregation: a session's extent depends on the
-inter-event gap, so per-key state (current session start/last/count) must
-survive across micro-batches. State is keyed by user_id, bounded by the
-event-time watermark, and closed sessions are emitted append-style either
-when a later event exceeds the gap or when the watermark passes
-last_event + gap (EventTimeTimeout) — so a user who simply stops emitting
-still gets their final session flushed, and state never grows beyond the
-set of users active inside the watermark horizon (the 100-TB property).
+inter-event gap, so per-key state must survive across micro-batches. State is
+keyed by user_id and buffers the raw event times still inside the watermark
+horizon (late-but-admissible events may arrive out of order in later
+micro-batches, so sessions can only be FROZEN below the watermark — a folded
+running (start, last, n) triple would mis-assign them). Sessions are emitted
+append-style once the watermark passes session_end + gap, either driven by
+new data or by EventTimeTimeout for users who simply stop emitting; state
+never grows beyond the per-user events inside the watermark lag (the 100-TB
+property).
 
 The batch twin (queries_training.q_events_sessionize) doubles as the
 correctness oracle on a closed input: tests/test_pipeline_and_streaming.py
@@ -24,9 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    LongType, StructField, StructType, TimestampNTZType,
-)
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from .events import EVENTS_SCHEMA
 
@@ -40,10 +40,14 @@ SESSION_OUT_SCHEMA = StructType([
     StructField("n_events", LongType()),
 ])
 
+# State buffers the RAW event times still inside the watermark horizon, not a
+# folded (start, last, n) triple: a late-but-admissible event (ts >= watermark,
+# arriving in a later micro-batch) may land anywhere above the watermark, so
+# sessions can only be frozen below it. Buffer size is bounded by the per-user
+# event count inside the watermark lag — the same bound any event-time
+# stateful operator carries.
 SESSION_STATE_SCHEMA = StructType([
-    StructField("start_us", LongType()),
-    StructField("last_us", LongType()),
-    StructField("n", LongType()),
+    StructField("buf_us", ArrayType(LongType())),
 ])
 
 
@@ -52,31 +56,52 @@ def _sessionize_group(
 ) -> Iterator[pd.DataFrame]:
     gap_us = SESSION_GAP_S * 1_000_000
     cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    buf: list[int] = list(state.get[0]) if state.exists else []
+    if not state.hasTimedOut:
+        new = pd.concat(list(pdfs))["ts_us"].astype("int64").tolist()
+        buf.extend(int(x) for x in new)
+    buf.sort()
+    wm_us = state.getCurrentWatermarkMs() * 1000
     out: list[tuple] = []
-    if state.hasTimedOut:
-        # watermark passed last_event + gap with no new events: final flush
-        start, last, n = state.get
-        out.append((key[0], start, last, n))
-        state.remove()
-    else:
-        ts = pd.concat(list(pdfs))["ts_us"].sort_values().astype("int64")
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = None
-            n = 0
-        for x in ts:
-            x = int(x)
-            if last is None:
-                start, last, n = x, x, 1
-            elif x - last > gap_us:
+    # Greedy session scan over the merged buffer. A session is emittable iff
+    # last + gap <= watermark: every future event has ts >= watermark (Spark
+    # filters older-than-watermark rows before stateful operators), so it can
+    # neither extend nor precede that session. Everything else stays buffered.
+    keep: list[int] = []
+    first_kept_end: int | None = None
+    start = last = None
+    n = 0
+    for x in buf:
+        if last is None:
+            start, last, n = x, x, 1
+        elif x - last > gap_us:
+            if last + gap_us <= wm_us:
                 out.append((key[0], start, last, n))
-                start, last, n = x, x, 1
             else:
-                last, n = x, n + 1
-        state.update((int(start), int(last), int(n)))
-        # close the open session when the watermark passes last + gap
-        state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_S * 1000)
+                keep.extend(t for t in buf if t >= start)
+                first_kept_end = last
+                start = None
+                break
+            start, last, n = x, x, 1
+        else:
+            last, n = x, n + 1
+    if start is not None:
+        if last + gap_us <= wm_us:
+            out.append((key[0], start, last, n))
+        else:
+            keep.extend(t for t in buf if t >= start)
+            first_kept_end = last
+    if keep:
+        state.update((sorted(keep),))
+        # arm the timeout at the FIRST pending session's close boundary
+        # (end + gap): arming at the last buffered event would skip earlier
+        # sessions whenever the final watermark lands between the two.
+        # Re-arms on each firing, so later sessions flush in turn.
+        state.setTimeoutTimestamp(
+            first_kept_end // 1000 + SESSION_GAP_S * 1000 + 1
+        )
+    else:
+        state.remove()
     yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
         {c: pd.Series(dtype="int64") for c in cols}
     )
@@ -119,7 +144,9 @@ def run_sessionize_available_now(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # explicit schema: a drain that closed zero sessions leaves only
+    # _spark_metadata in the sink and schema inference would fail
+    return spark.read.schema(SESSION_OUT_SCHEMA).parquet(out_dir)
 
 
 def sessions_pandas_oracle(events: pd.DataFrame, gap_s: int = SESSION_GAP_S):
