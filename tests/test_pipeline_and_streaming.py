@@ -75,6 +75,7 @@ def test_pipeline_resume(spark, tmp_path_factory):
 
     _old = _time.time() - TMP_GC_AGE_S - 60
     os.utime(orphan, (_old, _old))
+    os.utime(os.path.join(orphan, "_manifest.json"), (_old, _old))
     r3 = run_pipeline(spark, SF_DIR_SMALL, out)
     assert not r3["tiles"]["skipped"] and r3["tiles"]["rows"] > 0
     assert r3["scored"]["skipped"]

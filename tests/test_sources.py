@@ -98,6 +98,7 @@ def test_catalog_latest_complete_selection(spark, tmp_path_factory):
 
     old = _time.time() - TMP_GC_AGE_S - 60
     os.utime(orphan, (old, old))
+    os.utime(os.path.join(orphan, "_manifest.json"), (old, old))
 
     snaps = cat.snapshots("t")
     assert [m["version"] for m in snaps] == [1, 2, 3]
@@ -107,8 +108,12 @@ def test_catalog_latest_complete_selection(spark, tmp_path_factory):
     # (steps/latest_available_data.sh analog)
     small = cat.latest_complete("t", lambda m: m["rows"] <= 20)
     assert small["version"] == 2
-    # a new write garbage-collects the orphan tmp dir
+    # a YOUNG tmp dir (a live concurrent writer's) must survive the GC...
+    live = os.path.join(root, "t", "v00010.tmp-cafebabe")
+    os.makedirs(os.path.join(live, "_temporary"))
+    # ...while the backdated orphan is collected by the next write
     cat.write(spark, spark.range(5), "t", fingerprint="fp4", run_id="r4")
+    assert os.path.exists(live), "live writer's tmp dir was GC'd"
     assert not os.path.exists(orphan)
     assert cat.latest_complete("t")["version"] == 4
 

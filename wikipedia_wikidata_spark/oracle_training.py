@@ -239,16 +239,21 @@ FROM r WHERE _rk <= {k}"""
 def embeddings_rows(sf_dir: str = "/root/testdata/sf0.01") -> int:
     """Row count from the parquet footer (no data read) — the deterministic
     input both engines feed to n_planes_for, so Spark and the oracle build
-    the identical data-dependent LSH geometry. Falls back to the sf0.01 row
-    count (500) when the file is absent so importing the registry on a host
-    without the driver corpus cannot crash (the fallback only matters for
-    the oracle strings, which are defined against sf0.01 anyway)."""
+    the identical data-dependent LSH geometry.
+
+    Fallback (DEFAULT sf0.01 path only, missing file only): importing the
+    registry on a host without the driver corpus must not crash, and the
+    oracle strings are defined against sf0.01 anyway. Any other path or
+    error raises — silently substituting 500 rows for an arbitrary corpus
+    would build wrong LSH geometry for a real query."""
     import pyarrow.parquet as pq
 
     try:
         return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    except Exception:
-        return 500
+    except FileNotFoundError:
+        if sf_dir == "/root/testdata/sf0.01":
+            return 500
+        raise
 
 
 def ann_lsh_sql(k: int = 3, sf_dir: str = "/root/testdata/sf0.01") -> str:

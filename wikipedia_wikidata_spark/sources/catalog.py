@@ -126,17 +126,31 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
         # garbage-collect tmp dirs orphaned by a previously KILLED commit —
         # age-gated so a concurrent writer's in-flight tmp dir (uuid-named,
-        # actively being written) is never deleted from under it
+        # actively being written) is never deleted from under it. Age = the
+        # NEWEST mtime anywhere under the dir: Spark streams task files into
+        # nested _temporary/ attempt dirs without touching the top-level
+        # mtime, so a long-running live write keeps its recursive mtime
+        # fresh while a killed one goes stale everywhere.
         now = time.time()
         for d in os.listdir(root):
             if ".tmp-" not in d:
                 continue
             p = os.path.join(root, d)
+            newest = 0.0
             try:
-                age = now - os.path.getmtime(p)
+                for dirpath, _dirs, files in os.walk(p):
+                    newest = max(newest, os.path.getmtime(dirpath))
+                    for fn in files:
+                        try:
+                            newest = max(
+                                newest,
+                                os.path.getmtime(os.path.join(dirpath, fn)),
+                            )
+                        except OSError:
+                            pass
             except OSError:
                 continue
-            if age > TMP_GC_AGE_S:
+            if now - newest > TMP_GC_AGE_S:
                 shutil.rmtree(p, ignore_errors=True)
         cur = self._current(name)
         version = (cur["version"] + 1) if cur else 1

@@ -15,6 +15,13 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType,
 )
 
+# Output shape of stream_tumbling_counts — shared with the sink read-back so
+# the two cannot drift (an explicit-schema parquet read returns silent nulls
+# for a renamed column instead of failing).
+TUMBLING_OUT_SCHEMA = (
+    "window_start_us long, event_type string, n_events long, value_sum_e6 long"
+)
+
 EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts", TimestampNTZType()),
@@ -90,6 +97,4 @@ def run_stream_file_sink(
     q.awaitTermination()
     # explicit schema: a drain that closed zero windows leaves only
     # _spark_metadata in the sink and schema inference would fail
-    return spark.read.schema(
-        "window_start_us long, event_type string, n_events long, value_sum_e6 long"
-    ).parquet(out_dir)
+    return spark.read.schema(TUMBLING_OUT_SCHEMA).parquet(out_dir)

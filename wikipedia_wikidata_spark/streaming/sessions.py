@@ -3,14 +3,14 @@ applyInPandasWithState (SURVEY.md §2.8 target extension).
 
 Not expressible as a windowed aggregation: a session's extent depends on the
 inter-event gap, so per-key state must survive across micro-batches. State is
-keyed by user_id and buffers the raw event times still inside the watermark
-horizon (late-but-admissible events may arrive out of order in later
-micro-batches, so sessions can only be FROZEN below the watermark — a folded
-running (start, last, n) triple would mis-assign them). Sessions are emitted
-append-style once the watermark passes session_end + gap, either driven by
-new data or by EventTimeTimeout for users who simply stop emitting; state
-never grows beyond the per-user events inside the watermark lag (the 100-TB
-property).
+keyed by user_id: raw event times ABOVE the watermark (late-but-admissible
+events may still arrive there out of order and re-segment — a purely folded
+running triple would mis-assign them) plus a folded (start, last, n) summary
+of the open session's frozen below-watermark prefix (nothing can change
+there, so it needs no raw times). Sessions are emitted append-style once the
+watermark passes session_end + gap, either driven by new data or by
+EventTimeTimeout for users who simply stop emitting; state never grows
+beyond the per-user events inside the watermark lag (the 100-TB property).
 
 The batch twin (queries_training.q_events_sessionize) doubles as the
 correctness oracle on a closed input: tests/test_pipeline_and_streaming.py
@@ -40,13 +40,19 @@ SESSION_OUT_SCHEMA = StructType([
     StructField("n_events", LongType()),
 ])
 
-# State buffers the RAW event times still inside the watermark horizon, not a
-# folded (start, last, n) triple: a late-but-admissible event (ts >= watermark,
-# arriving in a later micro-batch) may land anywhere above the watermark, so
-# sessions can only be frozen below it. Buffer size is bounded by the per-user
-# event count inside the watermark lag — the same bound any event-time
-# stateful operator carries.
+# State = a FOLDED (start, last, n) summary of the open session's frozen
+# below-watermark prefix + the RAW event times above the watermark. Raw times
+# are needed above the watermark because late-but-admissible events may still
+# arrive there and re-segment; below it nothing can change (Spark drops
+# older-than-watermark rows before stateful operators), so that prefix folds
+# to three longs. State is therefore bounded by the per-user event count
+# inside the watermark lag — the 100-TB property — even for a user active
+# continuously for months (whose open session would otherwise accumulate
+# every raw timestamp).
 SESSION_STATE_SCHEMA = StructType([
+    StructField("f_start", LongType()),
+    StructField("f_last", LongType()),
+    StructField("f_n", LongType()),
     StructField("buf_us", ArrayType(LongType())),
 ])
 
@@ -56,50 +62,65 @@ def _sessionize_group(
 ) -> Iterator[pd.DataFrame]:
     gap_us = SESSION_GAP_S * 1_000_000
     cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
-    buf: list[int] = list(state.get[0]) if state.exists else []
+    f_start = f_last = None
+    f_n = 0
+    buf: list[int] = []
+    if state.exists:
+        f_start, f_last, f_n, kept_buf = state.get
+        buf = list(kept_buf)
     if not state.hasTimedOut:
-        new = pd.concat(list(pdfs))["ts_us"].astype("int64").tolist()
-        buf.extend(int(x) for x in new)
+        buf.extend(
+            int(x) for x in pd.concat(list(pdfs))["ts_us"].astype("int64")
+        )
     buf.sort()
     wm_us = state.getCurrentWatermarkMs() * 1000
-    out: list[tuple] = []
-    # Greedy session scan over the merged buffer. A session is emittable iff
-    # last + gap <= watermark: every future event has ts >= watermark (Spark
-    # filters older-than-watermark rows before stateful operators), so it can
-    # neither extend nor precede that session. Everything else stays buffered.
-    keep: list[int] = []
-    first_kept_end: int | None = None
-    start = last = None
-    n = 0
+
+    # Segment into sessions; the folded prefix (if any) seeds the first one.
+    # Each session: [start, last, n, raw_events_in_this_session].
+    sess: list[list] = []
+    if f_n:
+        sess.append([f_start, f_last, f_n, []])
     for x in buf:
-        if last is None:
-            start, last, n = x, x, 1
-        elif x - last > gap_us:
-            if last + gap_us <= wm_us:
-                out.append((key[0], start, last, n))
-            else:
-                keep.extend(t for t in buf if t >= start)
-                first_kept_end = last
-                start = None
-                break
-            start, last, n = x, x, 1
+        if sess and x - sess[-1][1] <= gap_us:
+            s = sess[-1]
+            s[1] = max(s[1], x)
+            s[2] += 1
+            s[3].append(x)
         else:
-            last, n = x, n + 1
-    if start is not None:
-        if last + gap_us <= wm_us:
-            out.append((key[0], start, last, n))
+            sess.append([x, x, 1, [x]])
+
+    # A session is emittable iff last + gap <= watermark: every future event
+    # has ts >= watermark, so it can neither extend nor precede it. Sessions
+    # are time-ordered, so emittable ones form a prefix.
+    out: list[tuple] = []
+    n_emit = 0
+    for s in sess:
+        if s[1] + gap_us <= wm_us:
+            out.append((key[0], s[0], s[1], s[2]))
+            n_emit += 1
         else:
-            keep.extend(t for t in buf if t >= start)
-            first_kept_end = last
-    if keep:
-        state.update((sorted(keep),))
-        # arm the timeout at the FIRST pending session's close boundary
-        # (end + gap): arming at the last buffered event would skip earlier
-        # sessions whenever the final watermark lands between the two.
-        # Re-arms on each firing, so later sessions flush in turn.
-        state.setTimeoutTimestamp(
-            first_kept_end // 1000 + SESSION_GAP_S * 1000 + 1
+            break
+    kept = sess[n_emit:]
+    if kept:
+        first = kept[0]
+        # fold the first kept session's below-watermark events into the
+        # summary (only the FIRST kept session can have any: later sessions
+        # start after first.last + gap > watermark)
+        below = [t for t in first[3] if t <= wm_us]
+        had_fold = f_n and n_emit == 0
+        new_f_start = first[0]
+        new_f_last = max(below + ([f_last] if had_fold else [])) if (
+            below or had_fold
+        ) else 0
+        new_f_n = (f_n if had_fold else 0) + len(below)
+        new_buf = [t for s in kept for t in s[3] if t > wm_us]
+        state.update(
+            (int(new_f_start) if new_f_n else 0,
+             int(new_f_last), int(new_f_n), sorted(new_buf))
         )
+        # arm the timeout at the FIRST pending session's close boundary
+        # (end + gap); re-arms as it fires, so later sessions flush in turn
+        state.setTimeoutTimestamp(first[1] // 1000 + SESSION_GAP_S * 1000 + 1)
     else:
         state.remove()
     yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
