@@ -305,3 +305,53 @@ def test_stateful_streaming_sessionize(spark, tmp_path_factory):
     for (u, s), (e, n) in exp_map.items():
         if e + SESSION_GAP_S * 1_000_000 <= wm_final:
             assert got_map.get((u, s)) == (e, n), (u, s)
+
+
+def test_incremental_rollup_recomputes_only_changed_days(spark, tmp_path_factory):
+    """Hypertable-style continuous aggregate: a refresh after new data must
+    recompute ONLY the days whose input fingerprint changed, carry every
+    other day forward from the previous snapshot, and still bit-match a
+    full recompute."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_wikidata_spark.operators.rollup import (
+        daily_rollup, refresh_rollup,
+    )
+
+    cat = Catalog(str(tmp_path_factory.mktemp("rollup")))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    days = sorted(r.d for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    assert len(days) >= 5
+    cut = days[len(days) // 2]
+
+    ev1 = ev.filter(F.to_date("ts") <= F.lit(cut))
+    m1 = refresh_rollup(spark, ev1, cat, "daily", "r1")
+    assert m1["carried_days"] == [] and len(m1["changed_days"]) >= 2
+
+    # second refresh over a superset: one existing day gains rows (shift a
+    # few later events onto `cut`), plus genuinely new later days
+    extra = ev.filter(F.to_date("ts") > F.lit(cut)).limit(7).withColumn(
+        "ts", F.lit(str(cut) + " 12:00:00").cast("timestamp_ntz")
+    )
+    ev2 = ev1.unionByName(extra).unionByName(
+        ev.filter(F.to_date("ts") > F.lit(cut))
+    )
+    m2 = refresh_rollup(spark, ev2, cat, "daily", "r2")
+    changed = set(m2["changed_days"])
+    assert str(cut) in changed, "modified day must be recomputed"
+    assert all(d > str(cut) for d in changed - {str(cut)}), (
+        "only the modified day and new days may be recomputed: " + str(changed)
+    )
+    assert set(m2["carried_days"]) == {str(d) for d in days if d < cut}
+
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.value_sum_e6, r.n_users)
+        for r in cat.read(spark, "daily").collect()
+    }
+    exp = {
+        (str(r.day), r.event_type): (r.n_events, r.value_sum_e6, r.n_users)
+        for r in daily_rollup(ev2).collect()
+    }
+    assert got == exp
+    # time travel to the first snapshot still works
+    assert cat.read(spark, "daily", version=m1["version"]).count() > 0
