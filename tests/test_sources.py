@@ -144,3 +144,44 @@ FROM events GROUP BY event_type"""
     )
     rows = {r.event_id: r.props_k for r in parse_props(bad).collect()}
     assert rows == {1: 5, 2: None, 3: None}
+
+
+def test_asof_join_matches_duckdb_native(spark, ddb):
+    """As-of join (union-sort-fill, one shuffle, no range explosion) vs
+    DuckDB's native ASOF JOIN on the events table: for every event, the
+    latest preceding same-user 'click' value."""
+    from wikipedia_wikidata_spark.operators.temporal import asof_join
+
+    from .conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    etype = ev.select("event_type").orderBy("event_type").limit(1).collect()[0][0]
+    right = ev.filter(F.col("event_type") == etype).select(
+        "user_id", "ts", F.col("value").alias("ref_value"), "event_id"
+    )
+    got = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        right.select("user_id", "ts", "ref_value"),
+        key="user_id",
+        ts="ts",
+        value_cols=["ref_value"],
+    ).select(
+        "event_id",
+        F.floor(F.col("asof_ref_value") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("ref_e6"),
+    )
+    exp = ddb.execute(
+        f"""SELECT l.event_id,
+       CAST(floor(r.value * 1000000.0 + 0.5) AS BIGINT) AS ref_e6
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = '{etype}'
+) r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+    ).fetchdf()
+    from .conftest import compare_frames
+
+    compare_frames(got, exp, "asof_join")
+    # plan shape: one window, no join operator at all
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p
