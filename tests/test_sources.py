@@ -185,3 +185,43 @@ ASOF LEFT JOIN (
     # plan shape: one window, no join operator at all
     p = got._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p, p
+
+
+def test_range_join_matches_duckdb(spark, ddb):
+    """Bucketed interval join vs a DuckDB theta-join oracle: every event
+    paired with the synthetic maintenance windows containing its timestamp;
+    plan must be an equi-join (no BroadcastNestedLoopJoin/cartesian)."""
+    from wikipedia_wikidata_spark.operators.temporal import range_join
+
+    from .conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts"
+    )
+    # deterministic intervals derived from the data itself: one 2h window
+    # every 8 hours across the observed span
+    iv = spark.sql(
+        """SELECT id AS win_id,
+                  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id*8 AS INT),0,0) AS lo,
+                  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id*8+2 AS INT),0,0) AS hi
+           FROM range(0, 92) AS t(id)"""
+    )
+    got = range_join(ev, iv, ts="ts", lo="lo", hi="hi").select(
+        "event_id", "win_id"
+    )
+    exp = ddb.execute(
+        """SELECT e.event_id, CAST(w.id AS BIGINT) AS win_id
+FROM events e
+JOIN (
+  SELECT id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(CAST(id*8 AS BIGINT)) AS lo,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(CAST(id*8+2 AS BIGINT)) AS hi
+  FROM range(0, 92) AS t(id)
+) w ON e.ts >= w.lo AND e.ts <= w.hi"""
+    ).fetchdf()
+    from .conftest import compare_frames
+
+    compare_frames(got, exp, "range_join")
+    assert len(got.collect()) > 0
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p, p

@@ -1,4 +1,4 @@
-"""As-of (point-in-time) join — an operator vanilla Spark lacks.
+"""Temporal joins vanilla Spark lacks: as-of join and range (interval) join.
 
 For each left row, attach the LATEST right row with right.ts <= left.ts for
 the same key. The naive formulation is a range join (l.ts >= r.ts) that
@@ -50,3 +50,42 @@ def asof_join(
             f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w)
         )
     return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    lo: str,
+    hi: str,
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (points.ts in [intervals.lo, intervals.hi])
+    WITHOUT the cartesian a naive theta-join plans.
+
+    Same binning technique as the cell-bucketed spatial join, in one
+    dimension: each interval explodes to the fixed-width time buckets it
+    overlaps; each point hashes to its one bucket; the join is a plain
+    equi-join on bucket id followed by the exact range filter. Candidate
+    work per point = intervals overlapping its bucket — local, not global.
+    Buckets are epoch-second based; size bucket_width_s to the typical
+    interval length (an interval spanning B buckets is replicated B times,
+    exactly like a polygon covering B cells)."""
+    w = F.lit(int(bucket_width_s)).cast("long")
+    p = points.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / 1_000_000 / w)
+    )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(lo).cast("timestamp")) / 1_000_000 / w),
+                F.floor(F.unix_micros(F.col(hi).cast("timestamp")) / 1_000_000 / w),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_b")
+        .filter((F.col(ts) >= F.col(lo)) & (F.col(ts) <= F.col(hi)))
+        .drop("_b")
+    )
