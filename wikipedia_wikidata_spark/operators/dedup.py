@@ -35,7 +35,11 @@ def augment_docs(docs: DataFrame) -> DataFrame:
         base.filter(F.col("doc_id") % 7 == 0)
         .select(
             (F.col("doc_id") + 2000000).alias("doc_id"),
-            F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+            # greatest(...,0): a zero-word doc would make the slice length -1,
+            # which THROWS under ANSI; the oracle's [1:len-1] handles it as ''
+            F.array_join(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))), " "
+            ).alias("text"),
         )
     )
     return base.unionByName(exact).unionByName(near)

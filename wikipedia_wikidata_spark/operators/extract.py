@@ -124,6 +124,15 @@ def shared_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.withColumn("f", F.split("text", SEP, 3))
 
 
+def _f(i: int):
+    """1-based safe payload-field access: try_element_at + try_cast keep a
+    malformed span (fewer fields / non-numeric text) as NULLs under Spark 4's
+    ANSI mode instead of aborting the query — mirroring the DuckDB oracle's
+    split_part + TRY_CAST semantics. (Verified: plain f[i]/cast() THROW under
+    ansi=true; polygons_view always used the try_ forms for this reason.)"""
+    return F.try_element_at("f", F.lit(i))
+
+
 def _clean_title(col):
     # bin/filter_page.py:33 strips '\r'; empty titles dropped.
     return F.regexp_replace(col, "\r", "")
@@ -133,9 +142,9 @@ def page_view(sp: DataFrame) -> DataFrame:
     """P1: bin/filter_page.py:29-37 — namespace 0, non-empty \\r-stripped title."""
     v = sp.filter(F.col("kind") == "page").select(
         "language",
-        F.col("f")[0].cast("int").alias("page_id"),
-        _clean_title(F.col("f")[1]).alias("page_title"),
-        F.col("f")[2].alias("ns"),
+        _f(1).try_cast("int").alias("page_id"),
+        _clean_title(_f(2)).alias("page_title"),
+        _f(3).alias("ns"),
     )
     return v.filter((F.col("ns") == "0") & (F.length("page_title") > 0)).drop("ns")
 
@@ -144,9 +153,9 @@ def linktarget_view(sp: DataFrame) -> DataFrame:
     """P2: bin/filter_redirect.py reused for linktarget (same shape)."""
     v = sp.filter(F.col("kind") == "linktarget").select(
         "language",
-        F.col("f")[0].cast("bigint").alias("lt_id"),
-        F.col("f")[1].alias("ns"),
-        _clean_title(F.col("f")[2]).alias("lt_title"),
+        _f(1).try_cast("bigint").alias("lt_id"),
+        _f(2).alias("ns"),
+        _clean_title(_f(3)).alias("lt_title"),
     )
     return v.filter((F.col("ns") == "0") & (F.length("lt_title") > 0)).drop("ns")
 
@@ -155,9 +164,9 @@ def redirect_view(sp: DataFrame) -> DataFrame:
     """P2: bin/filter_redirect.py:28-36."""
     v = sp.filter(F.col("kind") == "redirect").select(
         "language",
-        F.col("f")[0].cast("int").alias("rd_from"),
-        F.col("f")[1].alias("ns"),
-        _clean_title(F.col("f")[2]).alias("rd_title"),
+        _f(1).try_cast("int").alias("rd_from"),
+        _f(2).alias("ns"),
+        _clean_title(_f(3)).alias("rd_title"),
     )
     return v.filter((F.col("ns") == "0") & (F.length("rd_title") > 0)).drop("ns")
 
@@ -166,9 +175,9 @@ def pagelink_view(sp: DataFrame) -> DataFrame:
     """Raw pagelinks rows (pre-join): bin/filter_pagelinks.py:32-36 ns filter."""
     v = sp.filter(F.col("kind") == "pagelink").select(
         "language",
-        F.col("f")[0].cast("int").alias("pl_from"),
-        F.col("f")[1].alias("ns"),
-        F.col("f")[2].cast("bigint").alias("pl_target_id"),
+        _f(1).try_cast("int").alias("pl_from"),
+        _f(2).alias("ns"),
+        _f(3).try_cast("bigint").alias("pl_target_id"),
     )
     return v.filter(F.col("ns") == "0").drop("ns")
 
@@ -179,9 +188,9 @@ def langlinks_view(sp: DataFrame, languages: list[str] | None = None) -> DataFra
     languages = languages or LANGUAGES
     v = sp.filter(F.col("kind") == "langlink").select(
         "language",
-        F.col("f")[0].cast("int").alias("ll_from"),
-        F.col("f")[1].alias("ll_lang"),
-        F.translate(F.regexp_replace(F.col("f")[2], "\r", ""), " ", "_").alias("ll_title"),
+        _f(1).try_cast("int").alias("ll_from"),
+        _f(2).alias("ll_lang"),
+        F.translate(F.regexp_replace(_f(3), "\r", ""), " ", "_").alias("ll_title"),
     )
     return v.filter(F.col("ll_lang").isin(languages))
 
@@ -189,9 +198,9 @@ def langlinks_view(sp: DataFrame, languages: list[str] | None = None) -> DataFra
 def wd_page_view(sp: DataFrame) -> DataFrame:
     """P3: bin/filter_wikidata_page.py:33-41 — ns 0 and title starts with 'Q'."""
     v = sp.filter(F.col("kind") == "wikidata_page").select(
-        F.col("f")[0].cast("bigint").alias("page_id"),
-        F.col("f")[1].alias("ns"),
-        F.col("f")[2].alias("page_title"),
+        _f(1).try_cast("bigint").alias("page_id"),
+        _f(2).alias("ns"),
+        _f(3).alias("page_title"),
     )
     return v.filter((F.col("ns") == "0") & F.col("page_title").startswith("Q")).drop("ns")
 
@@ -204,11 +213,11 @@ def geo_tags_view(sp: DataFrame) -> DataFrame:
     """
     f5 = F.split(F.col("text"), SEP, 5)
     v = sp.filter(F.col("kind") == "wikidata_coord").select(
-        f5[0].cast("bigint").alias("gt_page_id"),
-        f5[1].alias("globe"),
-        f5[2].alias("gt_primary"),
-        f5[3].cast("double").alias("lat"),
-        f5[4].cast("double").alias("lon"),
+        F.try_element_at(f5, F.lit(1)).try_cast("bigint").alias("gt_page_id"),
+        F.try_element_at(f5, F.lit(2)).alias("globe"),
+        F.try_element_at(f5, F.lit(3)).alias("gt_primary"),
+        F.try_element_at(f5, F.lit(4)).try_cast("double").alias("lat"),
+        F.try_element_at(f5, F.lit(5)).try_cast("double").alias("lon"),
     )
     v = v.filter(
         (F.col("globe") == "earth")
@@ -229,9 +238,9 @@ def sitelinks_view(sp: DataFrame, languages: list[str] | None = None) -> DataFra
     'wiki' substrings from site id (reference quirk), language semi-filter."""
     languages = languages or LANGUAGES
     v = sp.filter(F.col("kind") == "sitelink").select(
-        F.col("f")[0].cast("int").alias("ips_item_id"),
-        F.col("f")[1].alias("ips_site_id"),
-        _clean_title(F.col("f")[2]).alias("ips_site_page"),
+        _f(1).try_cast("int").alias("ips_item_id"),
+        _f(2).alias("ips_site_id"),
+        _clean_title(_f(3)).alias("ips_site_page"),
     )
     return v.filter(
         (F.length("ips_site_page") > 0)
@@ -242,8 +251,8 @@ def sitelinks_view(sp: DataFrame, languages: list[str] | None = None) -> DataFra
 def places_view(sp: DataFrame) -> DataFrame:
     """P8: steps/wikidata_api_fetch_placetypes.sh:131-134 — Q-rows, dedup."""
     v = sp.filter(F.col("kind") == "place").select(
-        F.col("f")[0].alias("item"),
-        F.col("f")[1].alias("instance_of"),
+        _f(1).alias("item"),
+        _f(2).alias("instance_of"),
     )
     return v.filter(F.col("item").startswith("Q")).dropDuplicates()
 

@@ -74,8 +74,8 @@ wd_page AS (
 ),
 geo_tags AS (
   SELECT TRY_CAST(f1 AS BIGINT) AS gt_page_id,
-         round(TRY_CAST(f4 AS DOUBLE), 5) AS gt_lat,
-         round(TRY_CAST(f5 AS DOUBLE), 5) AS gt_lon
+         round_even(TRY_CAST(f4 AS DOUBLE) * 100000.0, 0) / 100000.0 AS gt_lat,
+         round_even(TRY_CAST(f5 AS DOUBLE) * 100000.0, 0) / 100000.0 AS gt_lon
   FROM spans
   WHERE kind = 'wikidata_coord' AND f2 = 'earth' AND f3 = '1'
     AND NOT (TRY_CAST(f4 AS DOUBLE) = 0 AND TRY_CAST(f5 AS DOUBLE) = 0)
@@ -279,10 +279,14 @@ FROM (
 
 
 def _spatial_oracles() -> dict[str, str]:
+    from .config import TILE_ZOOMS
     from .functions.cells import cell_sql, morton_sql
     from .operators.spatial import duckdb_ray_cast_sql
     from .operators.tiles import tile_sql
 
+    # derived from config, not a literal twin: editing TILE_ZOOMS must keep
+    # both engines on the same pyramid
+    zooms = ", ".join(str(int(z)) for z in TILE_ZOOMS)
     cells = ", ".join(
         f"{cell_sql('lat', 'lon', r)} AS cell_r{r}" for r in (5, 6, 7, 8, 9)
     )
@@ -323,7 +327,7 @@ FROM (
        CAST(count(*) AS BIGINT) AS n_entities,
        CAST(floor(SUM(p.importance) * 1000000.0 + 0.5) AS BIGINT) AS importance_sum_e6
 FROM entity_points p
-CROSS JOIN (SELECT unnest([4, 6, 8, 10]) AS zoom) z
+CROSS JOIN (SELECT unnest([{zooms}]) AS zoom) z
 GROUP BY 1, 2, 3"""
         ),
         "tile_cell_cover": _tile_cell_cover_oracle(),
@@ -349,13 +353,19 @@ def _tile_cell_cover_oracle(res: int = 5, zoom: int = 8) -> str:
     y1 = (
         f"least(greatest(CAST(floor(({lat_t} + 90.0) / 180.0 * {float(nb)}) AS BIGINT), 0), {nb - 1})"
     )
-    fac = f"CAST(pow(2.0, {bits} - t.zoom) AS BIGINT)"
+    # float fac + floor mirrors tiles.py: zoom > bits (tile finer than a
+    # cell) must yield the single covering column, not a truncated-to-0
+    # range (the round-1 integer-cast bug existed on BOTH sides)
+    fac = f"pow(2.0, {bits} - t.zoom)"
     return q(
         f"""SELECT zoom, tile_x, tile_y,
        (CAST({res} AS BIGINT) * {1 << 58} + cx * {1 << 29} + unnest(range(y0, y1 + 1))) AS cell_id
 FROM (
   SELECT zoom, tile_x, tile_y, y0, y1,
-         unnest(range(tile_x * fac, (tile_x + 1) * fac)) AS cx
+         unnest(range(
+           CAST(floor(tile_x * fac) AS BIGINT),
+           greatest(CAST(floor((tile_x + 1) * fac) AS BIGINT) - 1,
+                    CAST(floor(tile_x * fac) AS BIGINT)) + 1)) AS cx
   FROM (
     SELECT t.zoom, t.tile_x, t.tile_y, {fac} AS fac, {y0} AS y0, {y1} AS y1
     FROM (

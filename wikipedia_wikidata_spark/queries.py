@@ -113,13 +113,19 @@ def q_redirect_full(spark, sf_dir):
     )
 
 
+def _e6(col, alias):
+    """THE e6 quantizer — one definition, token-identical to the oracle's
+    floor(x*1e6+0.5) constant; inline copies risk silent drift."""
+    return F.floor(F.col(col) * 1000000.0 + 0.5).cast("bigint").alias(alias)
+
+
 def q_scored_articles(spark, sf_dir):
     """J9+A4+F6: the full scored article table (pre-output-shaping)."""
     sc, _ = imp.build_scored(spark, sf_dir)
     return sc.select(
         "language", "title", "langcount", "othercount", "totalcount",
         "lat", "lon", "wd_page_title", "instance_of",
-        F.floor(F.col("importance") * 1000000.0 + 0.5).cast("bigint").alias("importance_e6"),
+        _e6("importance", "importance_e6"),
     )
 
 
@@ -145,16 +151,12 @@ def q_importance_pipeline(spark, sf_dir):
         "language",
         "type",
         "title",
-        F.floor(F.col("importance") * 1000000.0 + 0.5).cast("bigint").alias("importance_e6"),
+        _e6("importance", "importance_e6"),
         "wikidata_id",
     )
 
 
 # ---------------------------------------------------------------- spatial
-
-def _e6(col, alias):
-    return F.floor(F.col(col) * 1000000.0 + 0.5).cast("bigint").alias(alias)
-
 
 def q_entity_points(spark, sf_dir):
     ep = imp.entity_points(spark, sf_dir)
@@ -185,9 +187,20 @@ def q_spatial_join_pip(spark, sf_dir):
     )
 
 
-def q_knn_nearest_place(spark, sf_dir):
-    from .operators.spatial import knn_nearest
+# q_knn_nearest_place must return a live (cached) DataFrame for the driver to
+# collect, so it cannot release its own handle; each invocation releases the
+# PREVIOUS one instead, bounding the session to a single cached kNN result.
+_KNN_HANDLE: list = []
 
+
+def q_knn_nearest_place(spark, sf_dir):
+    from .operators.spatial import knn_nearest, knn_release
+
+    while _KNN_HANDLE:
+        try:
+            knn_release(_KNN_HANDLE.pop())
+        except Exception:
+            pass
     sc, v = imp.build_scored(spark, sf_dir)
     ep = sc.filter(
         F.col("wd_page_title").isNotNull() & F.col("lat").isNotNull()
@@ -196,6 +209,7 @@ def q_knn_nearest_place(spark, sf_dir):
         "item", "lat", "lon"
     )
     out = knn_nearest(ep, places)
+    _KNN_HANDLE.append(out)
     return out.select(
         "language", "title", "nearest_item",
         F.floor(F.col("dist2") * 1000000000.0 + 0.5).cast("bigint").alias("dist2_e9"),
@@ -210,7 +224,7 @@ def q_tile_importance(spark, sf_dir):
     return t.select(
         "zoom", "tile_x", "tile_y",
         F.col("n_entities").alias("n_entities"),
-        F.floor(F.col("importance_sum") * 1000000.0 + 0.5).cast("bigint").alias("importance_sum_e6"),
+        _e6("importance_sum", "importance_sum_e6"),
     )
 
 
@@ -300,7 +314,10 @@ def q_streaming_tumbling(spark, sf_dir):
     import os
     import uuid
 
+    from .queries_training import _ensure_utc
     from .streaming.events import run_stream_available_now
+
+    _ensure_utc(spark)
 
     # the file stream source wants a directory; expose the single driver
     # parquet file through a temp dir symlink (removed at exit)

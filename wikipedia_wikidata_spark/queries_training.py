@@ -90,13 +90,23 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone: the events ts column is TIMESTAMP_NTZ and
+    the NTZ->LTZ cast inside epoch/window computations is session-timezone-
+    dependent, while the DuckDB oracle's epoch() always treats it as UTC.
+    The driver supplies its own SparkSession (not session.py's, which sets
+    UTC), so the event-time queries pin it explicitly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _epoch_seconds(col):
     # parquet ts is TIMESTAMP_NTZ; treat as UTC instants (the driver's DuckDB
-    # oracle epoch() does the same)
+    # oracle epoch() does the same; caller pins the session TZ via _ensure_utc)
     return F.unix_micros(col.cast("timestamp")) / 1000000.0
 
 
 def q_events_tumbling(spark, sf_dir):
+    _ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     win = (F.floor(_epoch_seconds(F.col("ts")) / 3600.0) * 3600).cast("bigint")
     return ev.groupBy(
@@ -109,6 +119,7 @@ def q_events_tumbling(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
+    _ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = _epoch_seconds(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
