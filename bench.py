@@ -115,7 +115,9 @@ def run_bench(master: str, sf_dir: str) -> dict:
         queries["emb_ann_lsh"] = round(time.time() - t0, 3)
 
         total = round(sum(queries.values()), 3)
-        sf = float(os.path.basename(os.path.normpath(sf_dir))[2:] or 0.1)
+        from wikipedia_wikidata_spark.config import sf_of
+
+        sf = sf_of(sf_dir)  # handles spans_* dirs and suffixed names too
         return {
             "metric": "headline_suite_seconds",
             "value": total,

@@ -117,3 +117,24 @@ def test_tsv_sink_roundtrip(spark, tmp_path_factory):
     key = [(-sizes[r[0]], r[1], r[2]) for r in body]
     assert key == sorted(key)
     assert all(r[1] in ("a", "r") for r in body)
+
+
+def test_tsv_sink_raw_quotes(spark, tmp_path_factory):
+    """Quoting must be DISABLED: a title containing '\"' is emitted raw (the
+    reference's COPY TO STDOUT never quotes), and the 1e-10 floor renders in
+    repr form."""
+    import gzip
+
+    out = str(tmp_path_factory.mktemp("tsvq") / "x.tsv.gz")
+    df = spark.createDataFrame(
+        [("en", "a", '"Weird_Al"_Yankovic', 0.5, "Q100"),
+         ("en", "a", "Plain", 1e-10, "Q101")],
+        "language string, type string, title string, importance double, wikidata_id string",
+    )
+    write_importance_tsv(df, out)
+    with gzip.open(out, "rt") as f:
+        body = f.read().splitlines()[1:]
+    assert body == [
+        'en\ta\t"Weird_Al"_Yankovic\t0.5\tQ100',
+        "en\ta\tPlain\t1e-10\tQ101",
+    ]

@@ -56,6 +56,9 @@ def _part1by1(v: np.ndarray) -> np.ndarray:
 
 
 def morton(lat: np.ndarray, lon: np.ndarray, bits: int = MORTON_BITS) -> np.ndarray:
+    # _part1by1/_spread_sql spread 16-bit inputs; a wider grid would silently
+    # alias distant cells (bit 16 masked off), so fail loudly instead
+    assert bits <= 16, f"morton supports bits <= 16, got {bits}"
     x, y = cell_xy(np.asarray(lat, dtype=np.float64), np.asarray(lon, dtype=np.float64), bits)
     return (_part1by1(y) << 1) | _part1by1(x)
 
@@ -132,6 +135,7 @@ def _spread_sql(e: str) -> str:
 
 
 def morton_sql(lat_expr: str, lon_expr: str, bits: int = MORTON_BITS) -> str:
+    assert bits <= 16, f"morton supports bits <= 16, got {bits}"
     x = x_sql(lon_expr, bits)
     y = y_sql(lat_expr, bits)
     return f"(({_spread_sql(y)} << 1) | {_spread_sql(x)})"

@@ -36,14 +36,20 @@ def mercator_y_norm_sql(lat_expr: str) -> str:
     return f"(1.0 - ln(tan({e}) + 1.0 / cos({e})) / pi()) / 2.0"
 
 
-def with_tile(df: DataFrame, zoom_col: str = "zoom") -> DataFrame:
-    """Add tile_x/tile_y given lat/lon and a zoom column."""
+def _tile_xy_cols(zoom_col: str = "zoom", merc_col: str = "_merc"):
+    """(tile_x, tile_y) Columns from lon + a precomputed mercator-y column."""
     n = F.pow(F.lit(2.0), F.col(zoom_col)).cast("double")
     xn = (F.col("lon") + F.lit(180.0)) / F.lit(360.0)
     tx = F.least(F.greatest(F.floor(xn * n), F.lit(0)), (n - 1).cast("long")).cast("long")
     ty = F.least(
-        F.greatest(F.floor(F.col("_merc") * n), F.lit(0)), (n - 1).cast("long")
+        F.greatest(F.floor(F.col(merc_col) * n), F.lit(0)), (n - 1).cast("long")
     ).cast("long")
+    return tx, ty
+
+
+def with_tile(df: DataFrame, zoom_col: str = "zoom") -> DataFrame:
+    """Add tile_x/tile_y given lat/lon and a zoom column."""
+    tx, ty = _tile_xy_cols(zoom_col)
     return (
         df.withColumn("_merc", mercator_y_norm(F.col("lat")))
         .withColumn("tile_x", tx)
@@ -55,14 +61,19 @@ def with_tile(df: DataFrame, zoom_col: str = "zoom") -> DataFrame:
 def tile_importance(points: DataFrame, zooms: list[int] | None = None) -> DataFrame:
     """Per-(zoom, tile) entity count + importance sum (log-scale column too).
 
-    points: (..., lat, lon, importance). One explode over the zoom pyramid —
-    the groupBy is a single shuffle keyed (zoom, tile_x, tile_y).
+    points: (..., lat, lon, importance). The mercator Python/Arrow UDF is
+    zoom-independent, so it runs ONCE PER POINT — before the zoom explode;
+    computing it after the explode paid len(zooms) redundant Arrow round
+    trips per point in the timed north-star job. One explode over the zoom
+    pyramid; the groupBy is a single shuffle keyed (zoom, tile_x, tile_y).
     """
     zooms = zooms or TILE_ZOOMS
-    z = points.withColumn(
-        "zoom", F.explode(F.array(*[F.lit(int(s)) for s in zooms]))
+    z = (
+        points.withColumn("_merc", mercator_y_norm(F.col("lat")))
+        .withColumn("zoom", F.explode(F.array(*[F.lit(int(s)) for s in zooms])))
     )
-    t = with_tile(z)
+    tx, ty = _tile_xy_cols()
+    t = z.withColumn("tile_x", tx).withColumn("tile_y", ty)
     return t.groupBy("zoom", "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n_entities"),
         F.sum("importance").alias("importance_sum"),

@@ -44,7 +44,12 @@ def log10_ratio_floor(total: pd.Series, mx: pd.Series) -> pd.Series:
     except there a JVM twin (rint) existed; for log10 none does."""
     t = np.log10(total.to_numpy(dtype="float64"))
     m = np.log10(mx.to_numpy(dtype="float64"))
-    return pd.Series(np.maximum(t / m, IMPORTANCE_FLOOR))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.maximum(t / m, IMPORTANCE_FLOOR)
+    # NULL max_total (no geo-linked article at all) or max_total==1 (0/0)
+    # arrives as NaN; GREATEST-with-NULL floors to 1e-10 in the reference's
+    # Postgres and in the DuckDB oracle — never emit NaN importance
+    return pd.Series(np.where(np.isnan(r), IMPORTANCE_FLOOR, r))
 
 
 def pagelink_counts(v: dict[str, DataFrame]) -> DataFrame:
@@ -324,13 +329,18 @@ def run_importance(
     return wikimedia_importance(sc, v)
 
 
-def run_importance_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final sink shaping (steps/output.sh:103-123): join top_languages,
-    ORDER BY size DESC, type, title — the sorted TSV order."""
-    wmi = run_importance(spark, sf_dir)
+def sorted_output(wmi: DataFrame) -> DataFrame:
+    """THE sink ordering (steps/output.sh:103-123): join top_languages,
+    ORDER BY language-size DESC, type, title. One definition — the TSV sink
+    and the flagship entry must never diverge on ordering/tie-breaks."""
     top = wmi.groupBy("language").agg(F.count(F.lit(1)).alias("size"))
     return (
         wmi.join(F.broadcast(top), "language")
         .orderBy(F.desc("size"), "type", "title")
         .select("language", "type", "title", "importance", "wikidata_id")
     )
+
+
+def run_importance_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final sink shaping: run_importance + the shared sorted_output."""
+    return sorted_output(run_importance(spark, sf_dir))

@@ -35,7 +35,7 @@ VIEW_NAMES = [
     "wd_page", "geo_tags", "sitelinks", "places", "polygons",
 ]
 
-PIPELINE_VERSION = 3
+PIPELINE_VERSION = 4
 
 
 def run_pipeline(
@@ -48,7 +48,16 @@ def run_pipeline(
     languages = languages or LANGUAGES
     cat = Catalog(out_root)
     run_id = uuid.uuid4().hex[:12]
-    fp = f"v{PIPELINE_VERSION}:{spans_dir_for(sf_dir)}"
+    # fingerprint covers EVERYTHING that changes stage outputs: pipeline
+    # logic version, corpus generator version, corpus location, and the
+    # language configuration — otherwise a resume against the same out_root
+    # silently serves stages built under a different configuration
+    from ..sources.synth import GENERATOR_VERSION
+
+    fp = (
+        f"v{PIPELINE_VERSION}:g{GENERATOR_VERSION}:{spans_dir_for(sf_dir)}"
+        f":{','.join(languages)}"
+    )
     report: dict[str, dict] = {}
 
     def stage(name: str, build, partition_by=None):
@@ -88,17 +97,21 @@ def run_pipeline(
     stage("article_full", build_af)
     af = cat.read(spark, "article_full")
 
+    # wikidata_places commits FIRST and 'scored' reads the snapshot: on a
+    # cold run the places subtree used to be evaluated twice (once inside
+    # scored, once for its own stage), and resume could pair a 'scored'
+    # built from a different places computation than the committed one
+    stage("wikidata_places", lambda: imp.wikidata_places(
+        v, levels, imp.geo_earth_wikidata(v)))
+    places = cat.read(spark, "wikidata_places")
+
     def build_scored():
-        ge = imp.geo_earth_wikidata(v)
-        places = imp.wikidata_places(v, levels, ge)
         wp = imp.wikidata_pages(places, v["sitelinks"], languages)
         return imp.scored_articles(af, wp)
 
     stage("scored", build_scored)
     scored = cat.read(spark, "scored")
 
-    stage("wikidata_places", lambda: imp.wikidata_places(
-        v, levels, imp.geo_earth_wikidata(v)))
     stage("importance", lambda: imp.wikimedia_importance(scored, v), ["language"])
 
     def build_points():

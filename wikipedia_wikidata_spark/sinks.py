@@ -36,16 +36,14 @@ def repr_double(x: pd.Series) -> pd.Series:
 
 def write_importance_tsv(wmi: DataFrame, out_path: str) -> str:
     """Sorted single-file TSV (gzip): ORDER BY language-size DESC, type, title
-    with header — byte-exact with the reference's formatting (repr floats)."""
-    top = wmi.groupBy("language").agg(F.count(F.lit(1)).alias("size"))
-    ordered = (
-        wmi.join(F.broadcast(top), "language")
-        .orderBy(F.desc("size"), "type", "title")
-        .select(
-            "language", "type", "title",
-            repr_double(F.col("importance")).alias("importance"),
-            "wikidata_id",
-        )
+    with header — byte-exact with the reference's formatting (repr floats;
+    shared ordering helper so the flagship entry and the sink can't diverge)."""
+    from .plans.importance import sorted_output
+
+    ordered = sorted_output(wmi).select(
+        "language", "type", "title",
+        repr_double(F.col("importance")).alias("importance"),
+        "wikidata_id",
     )
     tmp = out_path + ".tmpdir"
     (
@@ -55,6 +53,11 @@ def write_importance_tsv(wmi: DataFrame, out_path: str) -> str:
         .option("header", True)
         .option("compression", "gzip")
         .option("emptyValue", "")
+        # quoting DISABLED: the reference's COPY TO STDOUT emits raw strings;
+        # Spark's default CSV quoting would wrap a title containing '"' in
+        # quotes and break byte-exactness (MediaWiki titles can contain
+        # quotes but never tabs/newlines, so raw emission is safe)
+        .option("quote", "")
         .csv(tmp)
     )
     part = glob.glob(os.path.join(tmp, "part-*.csv.gz"))[0]
