@@ -157,7 +157,13 @@ def main():
             cmd = [sys.executable, __file__, "--spatial-only", f"local[{n}]", sf_dir]
             import shutil as _sh
             if _sh.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+                # pin to the TOP n cores: system daemons and any harness
+                # processes favor low-numbered cores, and a leg pinned to
+                # cores 0..n-1 absorbs all of that external load (observed:
+                # a 2-core leg at 380s vs 695s run-to-run purely from
+                # host-side activity on cores 0-1)
+                total = os.cpu_count() or 32
+                cmd = ["taskset", "-c", f"{total - n}-{total - 1}"] + cmd
             r = subprocess.run(cmd, capture_output=True, text=True, check=True)
             out[n] = json.loads(r.stdout.strip().splitlines()[-1])
         t_lo, t_hi = out[n_lo]["t_spatial_sec"], out[n_hi]["t_spatial_sec"]
