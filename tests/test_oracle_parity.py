@@ -12,10 +12,11 @@ ORACLES = get_oracle_sql()
 
 
 def test_every_query_has_oracle_or_is_flagged():
+    # round 3: every registered query carries a hard DuckDB oracle — the
+    # former no-oracle slots (spans_roundtrip digest, checkpoint_lineage
+    # stage counts) are oracled now
     missing = [k for k in QUERIES if k not in ORACLES]
-    # non-SQL-expressible ops are allowed to miss an oracle; keep the list tiny
-    allowed = {"spans_roundtrip", "checkpoint_lineage"}
-    assert set(missing) <= allowed, f"queries missing oracles: {missing}"
+    assert not missing, f"queries missing oracles: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -187,6 +187,33 @@ ASOF LEFT JOIN (
     assert "Join" not in p, p
 
 
+def test_asof_join_null_column_comes_from_single_row(spark):
+    """ADVICE r2: when the latest preceding right row has NULL in one value
+    column while an older row has it non-NULL, ALL asof_* values must come
+    from that single latest row (including its NULLs) — DuckDB's native ASOF
+    semantics — not a per-column carry that stitches rows together."""
+    from wikipedia_wikidata_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, 1.0, "old"),   # older row: both non-NULL
+            ("u1", 20, None, "new"),  # latest row: a IS NULL
+        ],
+        "user_id string, ts long, a double, b string",
+    )
+    left = spark.createDataFrame(
+        [("u1", 25, "e1"), ("u1", 15, "e2"), ("u1", 5, "e3")],
+        "user_id string, ts long, event string",
+    )
+    rows = {
+        r.event: (r.asof_a, r.asof_b)
+        for r in asof_join(left, right, key="user_id", ts="ts", value_cols=["a", "b"]).collect()
+    }
+    assert rows["e1"] == (None, "new")   # latest row ts=20: a=NULL rides along
+    assert rows["e2"] == (1.0, "old")    # only ts=10 precedes
+    assert rows["e3"] == (None, None)    # nothing precedes
+
+
 def test_range_join_matches_duckdb(spark, ddb):
     """Bucketed interval join vs a DuckDB theta-join oracle: every event
     paired with the synthetic maintenance windows containing its timestamp;

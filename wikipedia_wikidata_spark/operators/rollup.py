@@ -101,7 +101,11 @@ def refresh_rollup(
     manifest["changed_days"] = changed
     manifest["carried_days"] = carried
     manifest["removed_days"] = removed
-    # persist the extended manifest (digests ride with the snapshot)
+    # persist the extended manifest (digests ride with the snapshot) —
+    # tmp + os.replace, same atomicity as Catalog.write's pointer swap: a
+    # kill mid-write must never leave truncated JSON that poisons every
+    # later snapshots()/latest_complete()/refresh (the crash-resume
+    # scenario the catalog exists for)
     import json
     import os
 
@@ -109,6 +113,8 @@ def refresh_rollup(
         os.path.join(cat.path(name), f"v{manifest['version']:05d}", "_manifest.json"),
         os.path.join(cat.path(name), "_manifest.json"),
     ):
-        with open(p, "w") as f:
+        ptmp = p + ".tmp"
+        with open(ptmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(ptmp, p)
     return manifest

@@ -31,12 +31,19 @@ def asof_join(
     """Left rows + latest right ``value_cols`` as of each left row's ``ts``.
 
     right must contain (key, ts, *value_cols); appended columns are named
-    ``asof_<col>`` (NULL when no right row precedes the left row)."""
+    ``asof_<col>`` (NULL when no right row precedes the left row).
+
+    The value columns travel as ONE struct carried with a single
+    last(ignorenulls) — carrying them independently would stitch together
+    columns from DIFFERENT right rows whenever the latest preceding row has
+    NULL in one column and an older row has it non-NULL, diverging from
+    DuckDB's native ASOF JOIN (the oracle), which returns the single latest
+    row including its NULLs."""
     r = right.select(
         key,
         ts,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_asof_row"),
     )
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -45,11 +52,11 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_asof_row", F.last("_asof_row", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
     for c in value_cols:
-        u = u.withColumn(
-            f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w)
-        )
-    return u.filter(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(f"asof_{c}", F.col("_asof_row")[c])
+    return out.drop("_side", "_asof_row")
 
 
 def range_join(

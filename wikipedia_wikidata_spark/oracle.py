@@ -17,17 +17,21 @@ SPANS_SF001 = "/root/repo/data/spans_sf0.01/documents.parquet"
 LEVELS_SF001 = "/root/repo/data/spans_sf0.01/place_type_levels.parquet"
 
 
-def _langs_sql() -> str:
-    return ", ".join(f"'{x}'" for x in LANGUAGES)
+def _langs_sql(languages: list[str] | None = None) -> str:
+    return ", ".join(f"'{x}'" for x in (languages or LANGUAGES))
 
 
-def _sites_sql() -> str:
-    return ", ".join(f"'{x}wiki'" for x in LANGUAGES)
+def _sites_sql(languages: list[str] | None = None) -> str:
+    return ", ".join(f"'{x}wiki'" for x in (languages or LANGUAGES))
 
 
-def base_ctes(docs_path: str = SPANS_SF001, levels_path: str = LEVELS_SF001) -> str:
-    langs = _langs_sql()
-    sites = _sites_sql()
+def base_ctes(
+    docs_path: str = SPANS_SF001,
+    levels_path: str = LEVELS_SF001,
+    languages: list[str] | None = None,
+) -> str:
+    langs = _langs_sql(languages)
+    sites = _sites_sql(languages)
     return f"""
 spans AS (
   SELECT doc_id,
@@ -218,8 +222,13 @@ geo_places AS (
 """
 
 
-def q(final_select: str, docs_path: str = SPANS_SF001) -> str:
-    return "WITH " + base_ctes(docs_path) + "\n" + final_select
+def q(
+    final_select: str,
+    docs_path: str = SPANS_SF001,
+    levels_path: str = LEVELS_SF001,
+    languages: list[str] | None = None,
+) -> str:
+    return "WITH " + base_ctes(docs_path, levels_path, languages) + "\n" + final_select
 
 
 E6 = "CAST(floor(importance * 1000000.0 + 0.5) AS BIGINT)"
@@ -450,6 +459,94 @@ ORACLES["mysqldump_scan"] = """SELECT page_id, page_title, ns FROM (VALUES
 ) t(page_id, page_title, ns)"""
 ORACLES["media_resize"] = _media_resize_oracle()
 ORACLES["media_frame_sample"] = _media_frame_sample_oracle()
+
+
+def _importance_39lang_oracle() -> str:
+    """The identical importance program parameterized at the reference's
+    full 39-language production configuration (config/languages.txt:1-40)
+    over the dedicated 39-language corpus dir. get_oracle_sql() ensures the
+    corpus exists before the driver runs this."""
+    from .config import LANGUAGES_FULL
+    from .sources.synth import spans_dir_path
+
+    d, _sf = spans_dir_path(0.004, LANGUAGES_FULL)
+    return q(
+        f"SELECT language, type, title, {E6} AS importance_e6, wikidata_id FROM wmi",
+        docs_path=f"{d}/documents.parquet",
+        levels_path=f"{d}/place_type_levels.parquet",
+        languages=LANGUAGES_FULL,
+    )
+
+
+ORACLES["importance_39lang"] = _importance_39lang_oracle()
+
+# Span-sequence invariant digest (input_hint): md5 of the offset-ordered
+# kind\x1ftext\x1fmedia_ref\x1foffset serialization per doc — DuckDB's
+# string_agg ORDER BY offset mirrors Spark's array_sort + array_join.
+ORACLES["spans_roundtrip"] = f"""WITH s AS (
+  SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+         s."offset" AS off
+  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{SPANS_SF001}'))
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       md5(string_agg(
+         kind || chr(31) || text || chr(31) || media_ref || chr(31) || CAST(off AS VARCHAR),
+         chr(30) ORDER BY off)) AS span_md5,
+       TRUE AS roundtrip_ok
+FROM s GROUP BY doc_id"""
+
+
+def _checkpoint_lineage_oracle() -> str:
+    """Independent row count for every committed pipeline stage
+    (plans/pipeline.py stage order): 19 UNION ALL counts over the same
+    corpus. knn is one-nearest-per-point by construction (the level-0
+    global fallback guarantees a match whenever geo_places is non-empty),
+    so its count equals entity_points'."""
+    from .config import TILE_ZOOMS
+    from .operators.spatial import duckdb_ray_cast_sql
+    from .operators.tiles import tile_sql
+
+    ray = duckdb_ray_cast_sql("g.verts", "p.lat", "p.lon")
+    zooms = ", ".join(str(int(z)) for z in TILE_ZOOMS)
+    tx, ty = tile_sql("z.zoom", "p.lat", "p.lon")
+    counts = {
+        "spans_flat": "SELECT count(*) FROM spans",
+        "view_page": "SELECT count(*) FROM page",
+        "view_linktarget": "SELECT count(*) FROM linktarget",
+        "view_redirect": "SELECT count(*) FROM redirect",
+        "view_pagelink": "SELECT count(*) FROM pagelink",
+        "view_wd_page": "SELECT count(*) FROM wd_page",
+        "view_geo_tags": "SELECT count(*) FROM geo_tags",
+        "view_places": "SELECT count(*) FROM places0",
+        "view_polygons": "SELECT count(*) FROM polygons",
+        "view_langlinks": "SELECT count(*) FROM langlinks",
+        "view_sitelinks": "SELECT count(*) FROM sitelinks",
+        "article_full": "SELECT count(*) FROM article_full",
+        "wikidata_places": "SELECT count(*) FROM wikidata_places",
+        "scored": "SELECT count(*) FROM scored",
+        "importance": "SELECT count(*) FROM wmi",
+        "entity_points": "SELECT count(*) FROM entity_points",
+        "spatial_assign": (
+            "SELECT count(*) FROM entity_points p JOIN polygons_bbox g"
+            " ON p.lat BETWEEN g.min_lat AND g.max_lat"
+            " AND p.lon BETWEEN g.min_lon AND g.max_lon"
+            f" WHERE {ray}"
+        ),
+        "knn": "SELECT count(*) FROM entity_points",
+        "tiles": (
+            f"SELECT count(*) FROM (SELECT DISTINCT z.zoom, {tx} AS tile_x,"
+            f" {ty} AS tile_y FROM entity_points p"
+            f" CROSS JOIN (SELECT unnest([{zooms}]) AS zoom) z)"
+        ),
+    }
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{stage}' AS stage, CAST(({sql}) AS BIGINT) AS rows"
+        for stage, sql in counts.items()
+    )
+    return q(selects)
+
+
+ORACLES["checkpoint_lineage"] = _checkpoint_lineage_oracle()
 
 
 def sanity_check_levels() -> None:

@@ -306,6 +306,59 @@ SELECT q_id, n_id, CAST(_rk AS BIGINT) AS rank,
 FROM r WHERE _rk <= {k}"""
 
 
+def ann_ivf_sql(k: int = 3, nprobe: int = 4, sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Mirrors operators/similarity.ann_ivf_topk_fold: stride-sampled seed
+    centroids (C=sqrt(N)), fold-dot assignment/probing with (cos DESC,
+    centroid_id) tie-breaks, exact re-rank within probed lists. N and the
+    stride derive from the parquet footer on both sides."""
+    n = embeddings_rows(sf_dir)
+    n_centroids = max(4, int(np.sqrt(n)))
+    stride = max(1, n // n_centroids)
+    cdot = dot_sql("b.emb_d", "c.c_emb")
+    cnb = f"sqrt({dot_sql('b.emb_d', 'b.emb_d')})"
+    cnc = f"sqrt({dot_sql('c.c_emb', 'c.c_emb')})"
+    dot = dot_sql("qb.emb_d", "nb.emb_d")
+    nq = f"sqrt({dot_sql('qb.emb_d', 'qb.emb_d')})"
+    nn = f"sqrt({dot_sql('nb.emb_d', 'nb.emb_d')})"
+    return f"""WITH base AS (
+  SELECT vec_id, {_emb_d()} AS emb_d FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS centroid_id,
+         emb_d AS c_emb
+  FROM base WHERE vec_id % {stride} = 0
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_centroids}
+),
+cj AS (
+  SELECT b.vec_id, c.centroid_id, {cdot} / ({cnb} * {cnc}) AS _ccos
+  FROM base b CROSS JOIN cent c
+),
+rk AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY _ccos DESC, centroid_id ASC) AS _crn
+  FROM cj
+),
+inv AS (SELECT vec_id AS n_id, centroid_id FROM rk WHERE _crn = 1),
+probe AS (SELECT vec_id AS q_id, centroid_id FROM rk WHERE _crn <= {nprobe}),
+cand AS (
+  SELECT q_id, n_id FROM probe JOIN inv USING (centroid_id) WHERE q_id != n_id
+),
+j AS (
+  SELECT q_id, n_id, {dot} / ({nq} * {nn}) AS _cos
+  FROM cand
+  JOIN base qb ON cand.q_id = qb.vec_id
+  JOIN base nb ON cand.n_id = nb.vec_id
+),
+r AS (
+  SELECT q_id, n_id, _cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, n_id ASC) AS _rk
+  FROM j
+)
+SELECT q_id, n_id, CAST(_rk AS BIGINT) AS rank,
+       CAST(floor(_cos * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
+FROM r WHERE _rk <= {k}"""
+
+
 def lang_id_sql() -> str:
     langs = sorted(STOPWORDS)
     hit_cols = []
@@ -382,6 +435,7 @@ JOIN shd sb ON p.doc_b = sb.doc_id""",
     "emb_near_dup": emb_near_dup_sql(),
     "emb_cosine_topk": cosine_topk_sql(),
     "emb_ann_lsh": ann_lsh_sql(),
+    "emb_ann_ivf": ann_ivf_sql(),
     "text_lang_id": lang_id_sql(),
     "text_quality": quality_sql(),
     "text_token_counts": f"""SELECT doc_id,

@@ -66,6 +66,18 @@ def q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+def q_emb_ann_ivf(spark, sf_dir):
+    from .operators.similarity import ann_ivf_topk_fold
+    from .oracle_training import embeddings_rows
+
+    # the deterministic verification variant (seed centroids, fold dots) —
+    # bit-equal to the DuckDB oracle; ann_ivf_topk (Arrow matmul + Lloyd)
+    # is the throughput path, recall-verified in pytest
+    return ann_ivf_topk_fold(
+        _emb(spark, sf_dir), n_rows=embeddings_rows(sf_dir)
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     from .operators.text import lang_id
 
@@ -201,6 +213,7 @@ TRAINING_QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ann_ivf": q_emb_ann_ivf,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_counts": q_text_token_counts,

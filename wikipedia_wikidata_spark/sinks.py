@@ -40,6 +40,17 @@ def write_importance_tsv(wmi: DataFrame, out_path: str) -> str:
     shared ordering helper so the flagship entry and the sink can't diverge)."""
     from .plans.importance import sorted_output
 
+    # Executable guard for the raw-quoting invariant below: MediaWiki titles
+    # never contain tab/newline, but if one ever did the unquoted write would
+    # CORRUPT the artifact silently — fail loudly instead (distributed
+    # assert, no collect; runs inside the same job as the write).
+    wmi = wmi.withColumn(
+        "title",
+        F.when(
+            F.col("title").rlike("[\\t\\n\\r]"),
+            F.raise_error(F.concat(F.lit("TSV sink: title contains tab/newline: "), F.col("title"))),
+        ).otherwise(F.col("title")),
+    )
     ordered = sorted_output(wmi).select(
         "language", "type", "title",
         repr_double(F.col("importance")).alias("importance"),

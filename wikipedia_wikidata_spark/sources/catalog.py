@@ -82,8 +82,14 @@ class Catalog:
         for d in sorted(vdirs, key=lambda d: int(d[1:])):
             mp = os.path.join(root, d, "_manifest.json")
             if os.path.isfile(mp):
-                with open(mp) as f:
-                    m = json.load(f)
+                # tolerate a truncated/unreadable manifest (crash mid-write
+                # of an auxiliary rewrite): skip the snapshot rather than
+                # poison every future listing with JSONDecodeError
+                try:
+                    with open(mp) as f:
+                        m = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    continue
                 m["version"] = int(d[1:])
                 out.append(m)
         return out

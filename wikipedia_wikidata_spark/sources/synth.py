@@ -38,7 +38,7 @@ from ..config import (
     excluded_languages_for,
 )
 
-GENERATOR_VERSION = 10
+GENERATOR_VERSION = 11
 
 # Small row groups so Spark can split the single corpus file across tasks
 # (one giant row group = every scan stage is single-threaded).
@@ -216,9 +216,13 @@ def synth_facts(sf: float, languages: list[str] | None = None) -> dict:
             langlinks[L0].append(
                 (pid_of[L0][chosen[L0]], excluded[0], f"Fr title {j}")
             )
-    # dirty sitelinks: excluded site, strip-all-'wiki' quirk (F3), empty title
-    sitelinks.append((-1, 77_000_000, "frwiki", "Fr page"))
-    sitelinks.append((-1, 77_000_001, "wikien", "Quirk page"))  # 'wikien'->'en' kept in view
+    # dirty sitelinks: excluded site, strip-all-'wiki' quirk (F3), empty title.
+    # The excluded-site row's code is DERIVED from excluded_languages_for (not
+    # a 'frwiki' literal): under LANGUAGES_FULL 'fr' is an ACTIVE language, so
+    # a hardcoded frwiki row would silently become a valid sitelink and stop
+    # exercising the excluded-site filter in the 39-language configuration.
+    sitelinks.append((-1, 77_000_000, f"{excluded[0]}wiki", f"{excluded[0].capitalize()} page"))
+    sitelinks.append((-1, 77_000_001, f"wiki{languages[0]}", "Quirk page"))  # 'wikiXX'->'XX' kept in view
     sitelinks.append((-1, 77_000_002, "enwiki", ""))
 
     # geo: 70% of items
@@ -420,26 +424,34 @@ def build_documents(facts: dict) -> pa.Table:
     return pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": spans_arr})
 
 
-def ensure_spans_data(sf_dir_or_sf, languages: list[str] | None = None) -> str:
-    """Write (once) the interleaved corpus for a scale factor; return dir.
-
-    ``languages`` selects a non-default language configuration (own dir)."""
+def spans_dir_path(sf_dir_or_sf, languages: list[str] | None = None) -> tuple[str, float]:
+    """(corpus dir, sf) for a scale factor / driver dir + language config —
+    the single definition of the layout, shared by ensure_spans_data and by
+    oracle SQL that must name the same path without generating."""
     from ..config import sf_of, spans_dir_for
 
-    languages = list(languages) if languages else None
     if isinstance(sf_dir_or_sf, str):
         out_dir = spans_dir_for(sf_dir_or_sf)
         sf = sf_of(sf_dir_or_sf)
     else:
         sf = float(sf_dir_or_sf)
         out_dir = f"/root/repo/data/spans_sf{sf:g}"
-    if languages and languages != LANGUAGES:
+    if languages and list(languages) != LANGUAGES:
         # non-default language set -> its own corpus dir (e.g. the 39-language
         # production-configuration corpus of tests/test_importance.py), keyed
         # by CONTENT (two same-length language sets must not share a dir and
         # thrash full regenerations on every alternation)
         tag = hashlib.md5(",".join(languages).encode()).hexdigest()[:8]
         out_dir = f"{out_dir}_l{len(languages)}_{tag}"
+    return out_dir, sf
+
+
+def ensure_spans_data(sf_dir_or_sf, languages: list[str] | None = None) -> str:
+    """Write (once) the interleaved corpus for a scale factor; return dir.
+
+    ``languages`` selects a non-default language configuration (own dir)."""
+    languages = list(languages) if languages else None
+    out_dir, sf = spans_dir_path(sf_dir_or_sf, languages)
     meta_path = os.path.join(out_dir, "_meta.json")
     meta_langs = None
     if os.path.exists(meta_path):
