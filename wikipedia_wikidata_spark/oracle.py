@@ -549,5 +549,58 @@ def _checkpoint_lineage_oracle() -> str:
 ORACLES["checkpoint_lineage"] = _checkpoint_lineage_oracle()
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank mirroring operators/graph.pagerank
+    term-for-term: same edge resolution, same 0.15/0.85 literals, same
+    lost-dangling-mass convention, ranks quantized to e9 on both engines."""
+    from .operators.graph import PR_DAMPING, PR_ITERS, PR_TELEPORT
+
+    ctes = [""",
+edges AS (
+  SELECT DISTINCT p.language, p.pl_from AS src, pg.page_id AS dst
+  FROM pagelink p
+  JOIN linktarget lt ON lt.language = p.language AND lt.lt_id = p.pl_target_id
+  JOIN page pg ON pg.language = p.language AND pg.page_title = lt.lt_title
+  WHERE p.pl_from <> pg.page_id
+),
+pr_nodes AS (
+  SELECT language, src AS node FROM edges
+  UNION
+  SELECT language, dst FROM edges
+),
+pr_n AS (SELECT language, CAST(count(*) AS DOUBLE) AS n FROM pr_nodes GROUP BY 1),
+pr_outdeg AS (
+  SELECT language, src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY 1, 2
+),
+pr_r0 AS (
+  SELECT nd.language, nd.node, 1.0 / nn.n AS rank
+  FROM pr_nodes nd JOIN pr_n nn ON nn.language = nd.language
+)"""]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f""",
+pr_r{i} AS (
+  SELECT nd.language, nd.node,
+         {PR_TELEPORT} / nn.n + {PR_DAMPING} * COALESCE(c.c, 0.0) AS rank
+  FROM pr_nodes nd
+  JOIN pr_n nn ON nn.language = nd.language
+  LEFT JOIN (
+    SELECT e.language, e.dst AS node, SUM(r.rank / od.od) AS c
+    FROM edges e
+    JOIN pr_r{i - 1} r ON r.language = e.language AND r.node = e.src
+    JOIN pr_outdeg od ON od.language = e.language AND od.src = e.src
+    GROUP BY 1, 2
+  ) c ON c.language = nd.language AND c.node = nd.node
+)""")
+    final = f"""
+SELECT r.language, pg.page_title AS title,
+       CAST(floor(r.rank * 1000000000.0 + 0.5) AS BIGINT) AS rank_e9
+FROM pr_r{PR_ITERS} r
+JOIN page pg ON pg.language = r.language AND pg.page_id = r.node"""
+    return q("".join(ctes) + final)
+
+
+ORACLES["pagerank_links"] = _pagerank_oracle()
+
+
 def sanity_check_levels() -> None:
     assert len(PLACE_TYPE_LEVELS) >= 5

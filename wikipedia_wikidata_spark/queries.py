@@ -145,6 +145,16 @@ def q_top_languages(spark, sf_dir):
     return wmi.groupBy("language").agg(F.count(F.lit(1)).alias("size"))
 
 
+def q_pagerank_links(spark, sf_dir):
+    """Fixed-iteration PageRank over the resolved pagelink graph — the
+    iterative-algorithm operator class (operators/graph.py). Registered
+    after the driver's 50-slot window; parity-proven by the pytest oracle
+    harness (tests/test_oracle_parity.py) against the unrolled DuckDB CTE."""
+    from .operators.graph import pagerank_titles
+
+    return pagerank_titles(_views(spark, sf_dir))
+
+
 def q_importance_39lang(spark, sf_dir):
     """The flagship O(L^2)->one-shuffle claim at the reference's REAL
     production language count (config/languages.txt:1-40): the full
