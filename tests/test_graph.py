@@ -71,6 +71,37 @@ def test_pagerank_mass_bounded(spark):
     assert total > PR_TELEPORT  # teleport mass alone is a lower bound
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Long chain (forces multi-round propagation) + separate triangle +
+    untouched pair; labels = min node id per component."""
+    from wikipedia_wikidata_spark.operators.graph import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(1, 8)]        # chain 1-8, diameter 7
+        + [(20, 21), (21, 22), (20, 22)]          # triangle
+        + [(31, 30)]                              # pair, min is on the b side
+    )
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    for n in range(1, 9):
+        assert got[n] == 1, (n, got[n])
+    for n in (20, 21, 22):
+        assert got[n] == 20
+    assert got[30] == 30 and got[31] == 30
+    assert len(got) == 13
+
+
+def test_registry_window_untouched():
+    """Driver executes queries()[:50]; post-window entries must stay after."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    first50 = set(names[:50])
+    assert "pagerank_links" not in first50
+    assert "dedup_clusters" not in first50
+    assert len(names) >= 52
+
+
 def test_pagerank_plan_is_cartesian_free_and_truncated(spark):
     from tests.conftest import SF_DIR_SMALL
     from wikipedia_wikidata_spark.operators.extract import extract_views_shared

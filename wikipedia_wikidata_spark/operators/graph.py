@@ -143,6 +143,65 @@ def pagerank(
     return ranks
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation to convergence:
+    (node, component) with component = smallest node id in the component.
+
+    This is the clustering step the dedup family needs AFTER candidate
+    generation: MinHash/LSH (operators/dedup.py) emits near-dup PAIRS, but
+    keep/drop decisions need per-CLUSTER groups (A~B, B~C => {A,B,C} keeps
+    one document, not two independent pair-wise keeps).
+
+    Scale design: each iteration is one equi-join (labels into edges) plus
+    one min-aggregate — both shuffles keyed by node id, map-side combined;
+    labels are localCheckpointed per iteration so lineage stays O(1) rather
+    than O(iterations) (production: catalog snapshots, as in pagerank).
+    Convergence is a driver-side SCALAR count of changed labels per
+    iteration (no data collected). Plain min-propagation needs O(diameter)
+    iterations; near-dup graphs are dense clusters with tiny diameter, so
+    this converges in 2-3 rounds there. For adversarial long-chain graphs
+    at 10^9+ edges the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") drops
+    it to O(log n) rounds with the same per-round shuffle shape.
+    """
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nl"))
+        )
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+        )
+        stepped = stepped.localCheckpoint()
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.drop("old_label")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def pagerank_titles(v: dict[str, DataFrame], iters: int = PR_ITERS) -> DataFrame:
     """PageRank joined back to page titles, ranks quantized to e9 for the
     cross-engine value hash: (language, title, rank_e9)."""

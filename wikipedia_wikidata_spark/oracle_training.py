@@ -94,6 +94,43 @@ shd AS (SELECT doc_id, list_distinct(_sh) AS s FROM shingled)
 """
 
 
+JACC_E6 = """CAST(floor(CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
+                  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT)"""
+
+
+def dedup_clusters_sql() -> str:
+    """Near-dup clusters: MinHash candidate pairs above JACCARD_T clustered
+    into connected components (min reachable doc_id as the component label)
+    via a recursive CTE — mirrors operators/graph.connected_components over
+    operators/dedup.minhash_candidates. Integer-only output: exact parity."""
+    from .operators.dedup import JACCARD_T
+
+    t = int(JACCARD_T * 1000000)
+    return f"""WITH RECURSIVE {minhash_ctes()},
+jp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN shd sa ON p.doc_a = sa.doc_id
+  JOIN shd sb ON p.doc_b = sb.doc_id
+  WHERE {JACC_E6} >= {t}
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION
+  SELECT doc_b, doc_a FROM jp
+),
+walk(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN und e ON e.src = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+FROM comp GROUP BY 1"""
+
+
 def ngram_jaccard_sql(t: float = 0.6) -> str:
     """Prefix-filtered all-pairs word-bigram Jaccard (mirrors
     operators/dedup.py ngram_jaccard_pairs expression-for-expression)."""
@@ -422,14 +459,11 @@ SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS keep_doc_id
 FROM aug GROUP BY 1""",
     "dedup_minhash_lsh": f"""WITH {minhash_ctes()}
-SELECT p.doc_a, p.doc_b,
-       CAST(floor(CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
-                  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                       / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                  ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
+SELECT p.doc_a, p.doc_b, {JACC_E6} AS jaccard_e6
 FROM pairs p
 JOIN shd sa ON p.doc_a = sa.doc_id
 JOIN shd sb ON p.doc_b = sb.doc_id""",
+    "dedup_clusters": dedup_clusters_sql(),
     "dedup_simhash": simhash_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_sql(),
     "emb_near_dup": emb_near_dup_sql(),

@@ -28,6 +28,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_candidates(augment_docs(_docs(spark, sf_dir)))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: LSH candidate pairs above JACCARD_T, closed into
+    connected components (operators/graph.connected_components) — the
+    keep/drop grouping step of production dedup. Components are labeled by
+    their min doc_id; output (component, n_docs) is integer-exact vs the
+    recursive-CTE DuckDB oracle."""
+    from .operators.dedup import JACCARD_T, augment_docs, minhash_candidates
+    from .operators.graph import connected_components
+
+    pairs = minhash_candidates(augment_docs(_docs(spark, sf_dir)))
+    near = pairs.filter(F.col("jaccard_e6") >= int(JACCARD_T * 1000000))
+    return (
+        connected_components(near)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from .operators.dedup import augment_docs, simhash
 
@@ -234,6 +252,7 @@ def _register_post_window() -> None:
     from .queries import q_pagerank_links
 
     TRAINING_QUERIES["pagerank_links"] = q_pagerank_links
+    TRAINING_QUERIES["dedup_clusters"] = q_dedup_clusters
 
 
 _register_post_window()
