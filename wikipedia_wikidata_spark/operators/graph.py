@@ -183,6 +183,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -198,7 +199,15 @@ def connected_components(
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.drop("old_label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # partially-propagated labels are WRONG components — fail loudly
+        # rather than return them (a diameter > max_iters graph needs the
+        # large-star/small-star variant, see docstring)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
