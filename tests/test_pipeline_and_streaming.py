@@ -355,3 +355,34 @@ def test_incremental_rollup_recomputes_only_changed_days(spark, tmp_path_factory
     assert got == exp
     # time travel to the first snapshot still works
     assert cat.read(spark, "daily", version=m1["version"]).count() > 0
+
+
+def test_sharded_write_resumes_without_recomputing(spark, tmp_path_factory):
+    """north_star: a killed job resumes without recomputing completed
+    shards. Kill shard 2 on the first attempt; the retry must rebuild ONLY
+    shards 2 and 3, and the promoted table must equal the full union."""
+    import pytest as _pt
+
+    cat = Catalog(str(tmp_path_factory.mktemp("shardcat")))
+    calls: list[int] = []
+
+    def make(k: int):
+        calls.append(k)
+        if k == 2 and calls.count(2) == 1:
+            raise RuntimeError("simulated kill mid-stage")
+        return spark.range(k * 10, k * 10 + 5).withColumn("shard", F.lit(k))
+
+    with _pt.raises(RuntimeError, match="simulated kill"):
+        cat.write_sharded(spark, make, "t", "fp1", "run1", 4)
+    assert calls == [0, 1, 2]  # shards 0,1 committed atomically before the kill
+
+    m = cat.write_sharded(spark, make, "t", "fp1", "run2", 4)
+    assert calls == [0, 1, 2, 2, 3]  # resume rebuilt ONLY the missing shards
+    assert m["resumed_shards"] == 2 and m["n_shards"] == 4
+    assert m["status"] == "committed" and m["rows"] == 20
+    got = sorted(r["id"] for r in cat.read(spark, "t").collect())
+    want = sorted(x for k in range(4) for x in range(k * 10, k * 10 + 5))
+    assert got == want
+    # pending state is cleared by the successful commit
+    import os
+    assert not [d for d in os.listdir(cat.path("t")) if d.startswith("_pending-")]

@@ -35,7 +35,12 @@ VIEW_NAMES = [
     "wd_page", "geo_tags", "sitelinks", "places", "polygons",
 ]
 
-PIPELINE_VERSION = 4
+PIPELINE_VERSION = 5
+
+# Shard count for the shard-granular resumable spatial stage: resume
+# granularity vs K× replay of the (small) polygon build side. On a real
+# cluster this scales with the corpus (e.g. 256 shards at 10^12 docs).
+SPATIAL_SHARDS = 4
 
 
 def run_pipeline(
@@ -125,9 +130,28 @@ def run_pipeline(
     stage("entity_points", build_points)
     pts = cat.read(spark, "entity_points")
 
-    stage("spatial_assign", lambda: pip_join(
-        pts, v["polygons"].select("item", "verts"), res=5
-    ).select("language", "title", "wikidata_id", F.col("item").alias("place_item")))
+    # shard-granular resumable stage (north_star: a killed job resumes
+    # without recomputing completed cells): points are split by a stable
+    # hash, each shard's PIP assignment commits atomically on its own, and
+    # a resume rebuilds only the missing shards (catalog.write_sharded)
+    def spatial_shard(k: int) -> DataFrame:
+        sub = pts.filter(
+            F.pmod(F.xxhash64("wikidata_id"), F.lit(SPATIAL_SHARDS)) == k
+        )
+        return pip_join(sub, v["polygons"].select("item", "verts"), res=5).select(
+            "language", "title", "wikidata_id", F.col("item").alias("place_item")
+        )
+
+    if cat.is_complete("spatial_assign", fp):
+        m = cat.manifest("spatial_assign")
+        m["skipped"] = True
+        report["spatial_assign"] = m
+    else:
+        m = cat.write_sharded(
+            spark, spatial_shard, "spatial_assign", fp, run_id, SPATIAL_SHARDS
+        )
+        m["skipped"] = False
+        report["spatial_assign"] = m
 
     geo_places = cat.read(spark, "wikidata_places").filter(
         F.col("lat").isNotNull()

@@ -166,6 +166,23 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        return self._commit_dir(spark, tmp, name, version, fingerprint, run_id, t0)
+
+    def _commit_dir(
+        self,
+        spark: SparkSession,
+        tmp: str,
+        name: str,
+        version: int,
+        fingerprint: str,
+        run_id: str,
+        t0: float,
+        extra: dict | None = None,
+    ) -> dict:
+        """Lineage + manifest + atomic rename + pointer swap over a fully
+        written tmp data dir (shared by write and write_sharded)."""
+        root = self.path(name)
+        vdir = os.path.join(root, f"v{version:05d}")
         # lineage: per-written-file row counts (partition granularity)
         back = spark.read.parquet(tmp)
         lineage = [
@@ -186,6 +203,8 @@ class Catalog:
             "wall_ms": int((time.time() - t0) * 1000),
             "partitions": sorted(lineage, key=lambda p: p["file"]),
         }
+        if extra:
+            manifest.update(extra)
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)
         if os.path.exists(vdir):
@@ -201,6 +220,83 @@ class Catalog:
                 json.dump(payload, f, indent=1)
             os.replace(ptmp, os.path.join(root, fname))
         return manifest
+
+    def write_sharded(
+        self,
+        spark: SparkSession,
+        build_shard,
+        name: str,
+        fingerprint: str,
+        run_id: str,
+        n_shards: int,
+    ) -> dict:
+        """Shard-granular RESUMABLE snapshot commit — the north_star's
+        'a killed job resumes without recomputing completed cells'.
+
+        ``build_shard(k) -> DataFrame`` must yield a disjoint subset per
+        k ∈ [0, n_shards) whose union is the full table (e.g. points
+        filtered by ``pmod(xxhash64(id), n_shards) == k``). Each shard is
+        written ATOMICALLY (tmp + rename) into a fingerprint-keyed pending
+        dir; shard-dir existence IS the completion record, so a kill loses
+        at most the one in-flight shard and a re-run with the same
+        fingerprint rebuilds ONLY the missing shards. When every shard
+        exists, the shard trees are merged (shard-prefixed file names, so
+        partitioned layouts interleave cleanly) and promoted through the
+        same atomic version-commit path as write(); the manifest records
+        ``n_shards`` and ``resumed_shards`` alongside the per-file lineage.
+        Stage-level is_complete()/read() semantics are unchanged.
+        """
+        import hashlib
+
+        t0 = time.time()
+        root = self.path(name)
+        os.makedirs(root, exist_ok=True)
+        digest = hashlib.sha1(
+            f"{fingerprint}:{n_shards}".encode()
+        ).hexdigest()[:12]
+        pend = os.path.join(root, f"_pending-{digest}")
+        os.makedirs(pend, exist_ok=True)
+
+        def shard_dir(k: int) -> str:
+            return os.path.join(pend, f"shard_{k:05d}")
+
+        resumed = [k for k in range(n_shards) if os.path.isdir(shard_dir(k))]
+        for k in range(n_shards):
+            if os.path.isdir(shard_dir(k)):
+                continue
+            stmp = shard_dir(k) + ".tmp-" + uuid.uuid4().hex[:8]
+            build_shard(k).write.mode("overwrite").parquet(stmp)
+            os.rename(stmp, shard_dir(k))  # atomic: existence == completed
+
+        # promote: merge shard trees into one version dir (file names get a
+        # shard prefix; relative partition paths are preserved, so
+        # partitionBy layouts from different shards interleave)
+        cur = self._current(name)
+        version = (cur["version"] + 1) if cur else 1
+        vtmp = os.path.join(root, f"v{version:05d}") + ".tmp-" + uuid.uuid4().hex[:8]
+        os.makedirs(vtmp)
+        for k in range(n_shards):
+            sdir = shard_dir(k)
+            for dirpath, _dirs, files in os.walk(sdir):
+                rel = os.path.relpath(dirpath, sdir)
+                for fn in files:
+                    if fn.startswith("_") or fn.startswith("."):
+                        continue
+                    dst_dir = vtmp if rel == "." else os.path.join(vtmp, rel)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    shutil.copy2(
+                        os.path.join(dirpath, fn),
+                        os.path.join(dst_dir, f"s{k:05d}-{fn}"),
+                    )
+        m = self._commit_dir(
+            spark, vtmp, name, version, fingerprint, run_id, t0,
+            extra={"n_shards": n_shards, "resumed_shards": len(resumed)},
+        )
+        # the commit supersedes ALL pending state for this table
+        for d in os.listdir(root):
+            if d.startswith("_pending-"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return m
 
     def drop(self, name: str) -> None:
         if os.path.exists(self.path(name)):
