@@ -130,13 +130,25 @@ class Catalog:
         t0 = time.time()
         root = self.path(name)
         os.makedirs(root, exist_ok=True)
-        # garbage-collect tmp dirs orphaned by a previously KILLED commit —
-        # age-gated so a concurrent writer's in-flight tmp dir (uuid-named,
-        # actively being written) is never deleted from under it. Age = the
-        # NEWEST mtime anywhere under the dir: Spark streams task files into
-        # nested _temporary/ attempt dirs without touching the top-level
-        # mtime, so a long-running live write keeps its recursive mtime
-        # fresh while a killed one goes stale everywhere.
+        self._gc_orphaned_tmp(root)
+        cur = self._current(name)
+        version = (cur["version"] + 1) if cur else 1
+        vdir = os.path.join(root, f"v{version:05d}")
+        tmp = vdir + ".tmp-" + uuid.uuid4().hex[:8]
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        return self._commit_dir(spark, tmp, name, version, fingerprint, run_id, t0)
+
+    def _gc_orphaned_tmp(self, root: str) -> None:
+        """Garbage-collect tmp dirs orphaned by a previously KILLED commit —
+        age-gated so a concurrent writer's in-flight tmp dir (uuid-named,
+        actively being written) is never deleted from under it. Age = the
+        NEWEST mtime anywhere under the dir: Spark streams task files into
+        nested _temporary/ attempt dirs without touching the top-level
+        mtime, so a long-running live write keeps its recursive mtime
+        fresh while a killed one goes stale everywhere."""
         now = time.time()
         for d in os.listdir(root):
             if ".tmp-" not in d:
@@ -158,15 +170,6 @@ class Catalog:
                 continue
             if now - newest > TMP_GC_AGE_S:
                 shutil.rmtree(p, ignore_errors=True)
-        cur = self._current(name)
-        version = (cur["version"] + 1) if cur else 1
-        vdir = os.path.join(root, f"v{version:05d}")
-        tmp = vdir + ".tmp-" + uuid.uuid4().hex[:8]
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(tmp)
-        return self._commit_dir(spark, tmp, name, version, fingerprint, run_id, t0)
 
     def _commit_dir(
         self,
@@ -251,6 +254,10 @@ class Catalog:
         t0 = time.time()
         root = self.path(name)
         os.makedirs(root, exist_ok=True)
+        # a kill during a previous PROMOTION leaves a vNNNNN.tmp-* orphan;
+        # reclaim it here the same way write() does (shard dirs under
+        # _pending-* are the resume state and are NOT touched by this)
+        self._gc_orphaned_tmp(root)
         digest = hashlib.sha1(
             f"{fingerprint}:{n_shards}".encode()
         ).hexdigest()[:12]
