@@ -1,0 +1,44 @@
+"""Deterministic sampling: retry/partitioning stability + stratum caps.
+
+Cross-engine parity (exact row sets vs DuckDB) runs in test_oracle_parity.
+"""
+
+from pyspark.sql import functions as F
+
+from wikipedia_wikidata_spark.operators.sampling import hash_sample, stratified_sample
+
+
+def test_hash_sample_stable_under_repartitioning(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_sample(df, "k", 0.2).collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(17), "k", 0.2).collect()}
+    c = {r["k"] for r in hash_sample(df.coalesce(1), "k", 0.2).collect()}
+    assert a == b == c                      # plan-independent keep set
+    assert 0.17 < len(a) / 20000 < 0.23     # fraction lands near target
+    # a different seed picks a materially different set
+    d = {r["k"] for r in hash_sample(df, "k", 0.2, seed=7).collect()}
+    assert len(a & d) / len(a) < 0.5
+
+
+def test_hash_sample_is_narrow(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    p = hash_sample(df, "k", 0.5)._sc._jvm.PythonSQLUtils.explainString(
+        hash_sample(df, "k", 0.5)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p, p           # pure filter: zero shuffles
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    rows = [(f"s{i % 3}", i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "stratum string, k long")
+    out = stratified_sample(df, ["stratum"], 7, "k")
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["stratum"], set()).add(r["k"])
+    assert set(by) == {"s0", "s1", "s2"}
+    assert all(len(v) == 7 for v in by.values())
+    out2 = stratified_sample(df.repartition(13), ["stratum"], 7, "k")
+    by2 = {}
+    for r in out2.collect():
+        by2.setdefault(r["stratum"], set()).add(r["k"])
+    assert by == by2                        # same survivors, any plan

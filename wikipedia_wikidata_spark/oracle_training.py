@@ -530,4 +530,20 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2""",
+    # deterministic sampling (operators/sampling.py): the keep decision is
+    # hash60(seed:key) mod 1e6 — identical md5-prefix arithmetic on both
+    # engines, so the sampled row SETS match exactly, not just their sizes
+    "sample_documents": f"""SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+WHERE {hash60_sql("concat('42:', CAST(doc_id AS VARCHAR))")} % 1000000 < 100000""",
+    "sample_stratified": f"""SELECT o_orderstatus, o_orderkey
+FROM (
+  SELECT o_orderstatus, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY {hash60_sql("concat('42:', CAST(o_orderkey AS VARCHAR))")} ASC,
+                    o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn <= 5""",
 }
