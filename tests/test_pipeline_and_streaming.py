@@ -386,3 +386,38 @@ def test_sharded_write_resumes_without_recomputing(spark, tmp_path_factory):
     # pending state is cleared by the successful commit
     import os
     assert not [d for d in os.listdir(cat.path("t")) if d.startswith("_pending-")]
+
+
+def test_streaming_dedup_within_watermark_and_restart(spark, tmp_path_factory):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): an
+    at-least-once upstream (redelivered file) emits each event_id once,
+    including across a restart from the checkpoint."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_spark.streaming.events import run_stream_dedup
+
+    root = tmp_path_factory.mktemp("stream_dedup")
+    in_dir, out_dir, ck_dir = root / "in", root / "out", root / "ck"
+    in_dir.mkdir()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    half = t.num_rows // 2
+
+    # run 1: first half delivered TWICE (producer retry in the same drain)
+    pq.write_table(t.slice(0, half), str(in_dir / "part-0.parquet"))
+    pq.write_table(t.slice(0, half), str(in_dir / "part-0-retry.parquet"))
+    got1 = run_stream_dedup(spark, str(in_dir), str(out_dir), str(ck_dir)).collect()
+    ids1 = [r["event_id"] for r in got1]
+    want1 = {r["event_id"] for r in t.slice(0, half).to_pylist()}
+    assert len(ids1) == len(set(ids1)), "duplicate event_id emitted in run 1"
+    assert set(ids1) == want1
+
+    # 'restart': fresh query on the same checkpoint; redeliver half 1 AGAIN
+    # plus the new second half
+    pq.write_table(t.slice(0, half), str(in_dir / "part-0-redeliver.parquet"))
+    pq.write_table(t.slice(half), str(in_dir / "part-1.parquet"))
+    got2 = run_stream_dedup(spark, str(in_dir), str(out_dir), str(ck_dir)).collect()
+    ids2 = [r["event_id"] for r in got2]
+    assert len(ids2) == len(set(ids2)), "restart emitted a duplicate event_id"
+    all_ids = {r["event_id"] for r in t.to_pylist()}
+    # every event appears exactly once across both drains; nothing lost
+    assert set(ids2) == all_ids and len(ids2) == len(all_ids)

@@ -98,3 +98,53 @@ def run_stream_file_sink(
     # explicit schema: a drain that closed zero windows leaves only
     # _spark_metadata in the sink and schema inference would fail
     return spark.read.schema(TUMBLING_OUT_SCHEMA).parquet(out_dir)
+
+
+DEDUP_OUT_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, value double"
+)
+
+
+def run_stream_dedup(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming member of the dedup
+    family (operators/dedup.py covers the batch side).
+
+    ``dropDuplicatesWithinWatermark`` on the event id: an at-least-once
+    upstream (file redelivery, producer retries) becomes effectively-once
+    downstream, and — the 100-TB property — the dedup STATE holds only ids
+    seen within the watermark horizon instead of every id ever seen (a plain
+    ``dropDuplicates`` on a stream retains unbounded state). Append parquet
+    sink + durable checkpoint; a restarted job resumes from the checkpoint
+    offsets, and ids already emitted before the restart stay deduplicated
+    across it as long as their duplicates arrive within the watermark
+    (tests/test_pipeline_and_streaming.py drives a redelivery + restart).
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    deduped = (
+        src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts_ltz")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(DEDUP_OUT_SCHEMA).parquet(out_dir)
