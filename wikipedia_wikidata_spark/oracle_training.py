@@ -546,4 +546,25 @@ FROM (
          ) AS rn
   FROM orders
 ) WHERE rn <= 5""",
+    # train/eval contamination (operators/contamination.py): word-trigram
+    # hash collisions against the doc_id%97==0 eval split; docs with zero
+    # grams produce no gram rows and are absent from the report (both sides)
+    "contamination": f"""WITH
+tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+evg AS (
+  SELECT DISTINCT {hash60_sql('g')} AS gram
+  FROM (SELECT unnest(list_distinct({shingles_sql(words_sql('text'))})) AS g FROM ev)
+),
+tg AS (
+  SELECT doc_id, {hash60_sql('g')} AS gram
+  FROM (SELECT doc_id, unnest(list_distinct({shingles_sql(words_sql('text'))})) AS g FROM tr)
+)
+SELECT tg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(evg.gram) AS BIGINT) AS n_contaminated,
+       CAST(floor(CAST(count(evg.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS contam_e6
+FROM tg LEFT JOIN evg ON tg.gram = evg.gram
+GROUP BY 1""",
 }

@@ -267,6 +267,15 @@ def q_sample_stratified(spark, sf_dir):
     ).select("o_orderstatus", "o_orderkey")
 
 
+def q_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination report over the documents table
+    (operators/contamination.py): eval split = doc_id % 97 == 0."""
+    from .operators.contamination import contamination_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_report(docs)
+
+
 def _register_post_window() -> None:
     # entries BEYOND the driver's 50-slot window (registry[:50] is what the
     # grading driver executes — measured round 1). They still get the full
@@ -277,6 +286,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["dedup_clusters"] = q_dedup_clusters
     TRAINING_QUERIES["sample_documents"] = q_sample_documents
     TRAINING_QUERIES["sample_stratified"] = q_sample_stratified
+    TRAINING_QUERIES["contamination"] = q_contamination
 
 
 _register_post_window()
