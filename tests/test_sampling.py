@@ -42,3 +42,17 @@ def test_stratified_sample_caps_and_determinism(spark):
     for r in out2.collect():
         by2.setdefault(r["stratum"], set()).add(r["k"])
     assert by == by2                        # same survivors, any plan
+
+
+def test_contamination_plan_is_cartesian_free(spark):
+    from wikipedia_wikidata_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = contamination_report(docs)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p  # JVM-only
