@@ -252,3 +252,57 @@ JOIN (
     assert len(got.collect()) > 0
     p = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p, p
+
+
+def test_catalog_merge_partition_pruned(spark, tmp_path_factory):
+    """Partition-aware MERGE: only touched partitions rewrite; untouched
+    partition files are carried over verbatim; old version time-travels."""
+    import os
+
+    from wikipedia_wikidata_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path_factory.mktemp("mergecat")))
+    base = spark.createDataFrame(
+        [("en", 1, "a"), ("en", 2, "b"), ("de", 3, "c"), ("fr", 4, "d")],
+        "language string, k long, payload string",
+    )
+    cat.write(spark, base, "t", "fp1", "r1", partition_by=["language"])
+
+    def files_of(version, part):
+        d = os.path.join(cat.path("t"), f"v{version:05d}", f"language={part}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    de_before = files_of(1, "de")
+    updates = spark.createDataFrame(
+        [("en", 2, "B2"), ("en", 9, "new")], "language string, k long, payload string"
+    )
+    m = cat.merge(spark, updates, "t", ["language", "k"], "fp2", "r2",
+                  partition_by="language")
+    assert m["merge_touched_partitions"] == ["en"]
+    got = {(r.language, r.k): r.payload for r in cat.read(spark, "t").collect()}
+    assert got == {("en", 1): "a", ("en", 2): "B2", ("en", 9): "new",
+                   ("de", 3): "c", ("fr", 4): "d"}
+    # untouched partition carried over as the SAME files (no rewrite)
+    assert files_of(2, "de") == de_before
+    # time travel: version 1 still has the pre-merge row
+    old = {(r.language, r.k): r.payload
+           for r in cat.read(spark, "t", version=1).collect()}
+    assert old[("en", 2)] == "b" and ("en", 9) not in old
+
+
+def test_catalog_compact_small_files(spark, tmp_path_factory):
+    import os
+
+    from wikipedia_wikidata_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path_factory.mktemp("compcat")))
+    df = spark.range(0, 1000).repartition(16)
+    cat.write(spark, df, "t", "fp1", "r1")
+    m = cat.compact(spark, "t", 2, "fp2", "r2")
+    assert m["compaction"] is True and m["rows"] == 1000
+    vdir = os.path.join(cat.path("t"), f"v{m['version']:05d}")
+    files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    assert len(files) == 2
+    assert cat.read(spark, "t").count() == 1000
+    # persisted manifest carries the compaction marker too
+    assert cat.manifest("t")["compaction"] is True

@@ -124,6 +124,7 @@ class Catalog:
         fingerprint: str,
         run_id: str,
         partition_by: list[str] | None = None,
+        extra: dict | None = None,
     ) -> dict:
         """Atomic snapshot commit with per-partition lineage; earlier
         snapshots remain readable (time travel)."""
@@ -139,7 +140,9 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        return self._commit_dir(spark, tmp, name, version, fingerprint, run_id, t0)
+        return self._commit_dir(
+            spark, tmp, name, version, fingerprint, run_id, t0, extra=extra
+        )
 
     def _gc_orphaned_tmp(self, root: str) -> None:
         """Garbage-collect tmp dirs orphaned by a previously KILLED commit —
@@ -304,6 +307,101 @@ class Catalog:
             if d.startswith("_pending-"):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         return m
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        name: str,
+        key_cols: list[str],
+        fingerprint: str,
+        run_id: str,
+        partition_by: str | None = None,
+    ) -> dict:
+        """Iceberg-style MERGE (upsert): rows of the current snapshot whose
+        key matches an update row are replaced; new keys are inserted. The
+        result commits as a NEW version — earlier versions stay readable
+        (time travel), exactly like write().
+
+        ``updates`` must be key-unique, and with ``partition_by`` a key's
+        partition value must be stable across versions (an update that MOVES
+        a key to another partition would leave the old row behind in an
+        untouched partition — language-keyed tables satisfy this by
+        construction). Partition values must be plain (no URL-escaped
+        characters in the dir name).
+
+        With ``partition_by`` (the column the table is partitioned on), the
+        merge is PARTITION-PRUNED: only partitions that appear in
+        ``updates`` are recomputed (anti-join + union over those partitions
+        alone); every untouched partition's files are carried into the new
+        version as straight file copies — no scan, no shuffle, no rewrite.
+        That is the property that makes a 10^12-row table mergeable: cost
+        scales with the touched partitions, not the table. Without
+        ``partition_by`` the whole table is rewritten (fine for small dims).
+        """
+        t0 = time.time()
+        root = self.path(name)
+        cur = self.read(spark, name)
+        if partition_by is None:
+            merged = cur.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            ).unionByName(updates)
+            return self.write(spark, merged, name, fingerprint, run_id)
+
+        touched = [
+            r[partition_by]
+            for r in updates.select(partition_by).distinct().collect()
+        ]
+        self._gc_orphaned_tmp(root)
+        cur_v = self.current_version(name)
+        assert cur_v is not None, "merge() needs an existing versioned table"
+        version = cur_v + 1
+        vtmp = os.path.join(root, f"v{version:05d}") + ".tmp-" + uuid.uuid4().hex[:8]
+        # recompute ONLY the touched partitions
+        merged = (
+            cur.filter(F.col(partition_by).isin(touched))
+            .join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+            .unionByName(updates)
+        )
+        merged.write.mode("overwrite").partitionBy(partition_by).parquet(vtmp)
+        # carry every untouched partition dir over as plain file copies
+        cur_dir = os.path.join(root, f"v{cur_v:05d}")
+        touched_dirs = {f"{partition_by}={v}" for v in touched}
+        for d in os.listdir(cur_dir):
+            if (
+                d.startswith(f"{partition_by}=")
+                and d not in touched_dirs
+                and os.path.isdir(os.path.join(cur_dir, d))
+            ):
+                shutil.copytree(
+                    os.path.join(cur_dir, d), os.path.join(vtmp, d)
+                )
+        return self._commit_dir(
+            spark, vtmp, name, version, fingerprint, run_id, t0,
+            extra={
+                "merge_touched_partitions": sorted(map(str, touched)),
+                "merge_key": key_cols,
+            },
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_files: int,
+        fingerprint: str,
+        run_id: str,
+    ) -> dict:
+        """Small-file compaction: rewrite the current snapshot into
+        ``target_files`` files as a new version (identical rows, same
+        schema). The small-files problem is the classic failure mode of
+        long-lived incrementally-merged tables at scale — thousands of tiny
+        parquet files turn every scan into an open()-bound crawl; periodic
+        compaction restores scan bandwidth. Old versions remain readable."""
+        df = self.read(spark, name).repartition(target_files)
+        return self.write(
+            spark, df, name, fingerprint, run_id, extra={"compaction": True}
+        )
 
     def drop(self, name: str) -> None:
         if os.path.exists(self.path(name)):
