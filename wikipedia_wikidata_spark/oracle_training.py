@@ -567,4 +567,28 @@ SELECT tg.doc_id,
                   * 1000000.0 + 0.5) AS BIGINT) AS contam_e6
 FROM tg LEFT JOIN evg ON tg.gram = evg.gram
 GROUP BY 1""",
+    "emb_dedup_clusters": None,  # filled below (needs emb_near_dup_sql)
 }
+
+
+def _emb_clusters_sql() -> str:
+    """Connected components over the embedding near-dup pairs (recursive
+    min-label CTE, same convention as dedup_clusters_sql)."""
+    inner = emb_near_dup_sql()
+    return f"""WITH RECURSIVE np AS ({inner}),
+und AS (
+  SELECT vec_a AS src, vec_b AS dst FROM np
+  UNION
+  SELECT vec_b, vec_a FROM np
+),
+walk(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN und e ON e.src = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+SELECT component, CAST(count(*) AS BIGINT) AS n_vecs
+FROM comp GROUP BY 1"""
+
+
+TRAINING_ORACLES["emb_dedup_clusters"] = _emb_clusters_sql()

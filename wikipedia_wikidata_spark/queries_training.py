@@ -267,6 +267,24 @@ def q_sample_stratified(spark, sf_dir):
     ).select("o_orderstatus", "o_orderkey")
 
 
+def q_emb_dedup_clusters(spark, sf_dir):
+    """Embedding near-dup pairs closed into keep/drop clusters — the same
+    connected-components step dedup_clusters applies to MinHash pairs,
+    here over the LSH-blocked cosine pairs (>= NEAR_DUP_T)."""
+    from .operators.graph import connected_components
+    from .operators.similarity import emb_near_dup, n_planes_for
+    from .oracle_training import embeddings_rows
+
+    pairs = emb_near_dup(
+        _emb(spark, sf_dir), n_planes=n_planes_for(embeddings_rows(sf_dir))
+    )
+    return (
+        connected_components(pairs, a="vec_a", b="vec_b")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Train/eval n-gram contamination report over the documents table
     (operators/contamination.py): eval split = doc_id % 97 == 0."""
@@ -287,6 +305,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["sample_documents"] = q_sample_documents
     TRAINING_QUERIES["sample_stratified"] = q_sample_stratified
     TRAINING_QUERIES["contamination"] = q_contamination
+    TRAINING_QUERIES["emb_dedup_clusters"] = q_emb_dedup_clusters
 
 
 _register_post_window()
