@@ -30,12 +30,12 @@ def _zip_package(out: str) -> None:
                     z.write(p, os.path.relpath(p, REPO))
 
 
-def _run(submit, zip_path, out_dir):
+def _run(submit, zip_path, out_dir, master="local[4]"):
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_MASTER", None)
     r = subprocess.run(
         [
-            submit, "--master", "local[4]", "--py-files", zip_path,
+            submit, "--master", master, "--py-files", zip_path,
             os.path.join(REPO, "submit_pipeline.py"),
             "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir,
         ],
@@ -60,3 +60,21 @@ def test_spark_submit_pipeline_and_resume(tmp_path_factory):
     # resume: identical re-submit skips every committed stage by fingerprint
     stages2 = _run(submit, zip_path, out_dir)
     assert all(s["skipped"] for s in stages2), stages2
+
+
+def test_spark_submit_two_cluster_sizes_same_rows(tmp_path_factory):
+    """north_rule launch shape: the SAME spark-submit --py-files command at
+    two parallelism levels (only the launcher flag differs) produces
+    identical per-stage row counts — the job is width-invariant through the
+    real launcher, which is what makes the N vs 4N throughput comparison a
+    comparison of the same computation."""
+    zip_path = str(tmp_path_factory.mktemp("zip2") / "wws.zip")
+    _zip_package(zip_path)
+    submit = _spark_submit()
+    rows = {}
+    for master in ("local[2]", "local[8]"):
+        out_dir = str(tmp_path_factory.mktemp(f"ckpt_{master[6:-1]}"))
+        stages = _run(submit, zip_path, out_dir, master=master)
+        rows[master] = {s["stage"]: s["rows"] for s in stages}
+        assert not any(s["skipped"] for s in stages)
+    assert rows["local[2]"] == rows["local[8]"], rows
