@@ -592,3 +592,10 @@ FROM comp GROUP BY 1"""
 
 
 TRAINING_ORACLES["emb_dedup_clusters"] = _emb_clusters_sql()
+
+TRAINING_ORACLES["top_tokens"] = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({words_sql('text')}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20"""

@@ -294,6 +294,22 @@ def q_contamination(spark, sf_dir):
     return contamination_report(docs)
 
 
+def q_top_tokens(spark, sf_dir):
+    """Global heavy-hitter tokens (top 20 by exact count, tie-break token
+    asc) over the documents table. Scale shape: explode + two-level partial
+    aggregation (map-side combine) + TakeOrdered (orderBy+limit plans a
+    per-partition top-k and a k-row driver merge — no global sort)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.explode(F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0))
+    return (
+        docs.select(w.alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def _register_post_window() -> None:
     # entries BEYOND the driver's 50-slot window (registry[:50] is what the
     # grading driver executes — measured round 1). They still get the full
@@ -306,6 +322,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["sample_stratified"] = q_sample_stratified
     TRAINING_QUERIES["contamination"] = q_contamination
     TRAINING_QUERIES["emb_dedup_clusters"] = q_emb_dedup_clusters
+    TRAINING_QUERIES["top_tokens"] = q_top_tokens
 
 
 _register_post_window()
