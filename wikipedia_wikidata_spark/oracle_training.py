@@ -593,6 +593,17 @@ FROM comp GROUP BY 1"""
 
 TRAINING_ORACLES["emb_dedup_clusters"] = _emb_clusters_sql()
 
+TRAINING_ORACLES["training_corpus_keep"] = f"""
+SELECT q.doc_id, q.quality_e6
+FROM ({quality_sql()}) q
+JOIN (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT md5(text) AS h, doc_id FROM documents)
+  GROUP BY h
+) k ON q.doc_id = k.doc_id
+WHERE q.quality_e6 >= 500000
+  AND {hash60_sql("concat('42:', CAST(q.doc_id AS VARCHAR))")} % 1000000 < 500000"""
+
 TRAINING_ORACLES["top_tokens"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest({words_sql('text')}) AS token FROM documents)

@@ -310,6 +310,27 @@ def q_top_tokens(spark, sf_dir):
     )
 
 
+def q_training_corpus_keep(spark, sf_dir):
+    """End-to-end keep-list composition — the shape of a real training-data
+    curation pass: quality gate (>= 0.5 composite) AND exact-dedup keeper
+    (min doc_id of each md5 content group) AND a deterministic 50% sample.
+    Every stage is an already-parity-proven operator; this query proves they
+    COMPOSE with exact cross-engine agreement."""
+    from .operators.sampling import hash_sample
+    from .operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_score(docs).select("doc_id", "quality_e6")
+    keepers = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = q.join(keepers, "doc_id").filter(F.col("quality_e6") >= 500000)
+    return hash_sample(kept, "doc_id", 0.5).select("doc_id", "quality_e6")
+
+
 def _register_post_window() -> None:
     # entries BEYOND the driver's 50-slot window (registry[:50] is what the
     # grading driver executes — measured round 1). They still get the full
@@ -323,6 +344,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["contamination"] = q_contamination
     TRAINING_QUERIES["emb_dedup_clusters"] = q_emb_dedup_clusters
     TRAINING_QUERIES["top_tokens"] = q_top_tokens
+    TRAINING_QUERIES["training_corpus_keep"] = q_training_corpus_keep
 
 
 _register_post_window()
