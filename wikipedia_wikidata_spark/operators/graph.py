@@ -106,8 +106,9 @@ def pagerank(
     outdeg = edges.groupBy("language", "src").agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )
-    # edge-with-outdeg subtree: identical every iteration -> one Exchange,
-    # replayed as ReusedExchange in later iterations (see module docstring)
+    # edge-with-outdeg subtree consumed once per iteration; with
+    # materialize=True its scan side reads the checkpointed edge RDD (the
+    # measured alternative — relying on exchange reuse — never fired)
     ew = edges.join(outdeg, ["language", "src"])
     ranks = nodes.join(F.broadcast(n), "language").select(
         "language", "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
