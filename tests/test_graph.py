@@ -116,3 +116,44 @@ def test_pagerank_plan_is_cartesian_free_and_truncated(spark):
     # lineage truncation: the iterations read the materialized edge/node
     # RDDs, not a replayed 2-join resolution subtree per reference
     assert "Scan ExistingRDD" in p, p
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs vs a pure-Python union-find oracle."""
+    import random
+
+    from wikipedia_wikidata_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n, m = 60, rng.randint(20, 80)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for p in pairs for x in p}
+        want = {x: find(x) for x in touched}
+        # canonicalize oracle labels to the min node id per component
+        groups = {}
+        for x, r in want.items():
+            groups.setdefault(find(r), []).append(x)
+        want = {x: min(g) for r, g in groups.items() for x in g}
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"trial {trial}"
