@@ -8,14 +8,51 @@ import pytest
 from pyspark.sql import functions as F
 
 from wikipedia_wikidata_spark.operators.graph import (
-    PR_DAMPING, PR_ITERS, PR_TELEPORT, link_edges, pagerank,
+    PR_DAMPING, PR_ITERS, PR_SCALE, PR_TELEPORT, link_edges, pagerank,
 )
 
 
-def _numpy_pagerank(edges, iters=PR_ITERS):
-    """Independent dense-matrix reference (lost dangling mass variant)."""
+def _fixed_point_pagerank(edges, iters=PR_ITERS):
+    """Independent pure-Python reference in the SAME int64 fixed-point
+    arithmetic (exact — Python ints): lost dangling mass, floor divisions."""
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
-    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    t_fp = PR_SCALE * round(PR_TELEPORT * 100) // 100
+    d_num = round(PR_DAMPING * 100)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {v: t_fp // n + d_num * contrib[v] // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_hand_oracle_exactly(spark):
+    # 4-node graph with a cycle, a hub, and a dangling node (4 -> nothing)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (2, 4)]
+    df = spark.createDataFrame(
+        [("en", s, d) for s, d in edges], "language string, src int, dst int"
+    )
+    out = pagerank(df, materialize=False).collect()
+    got_fp = {r["node"]: r["rank_fp"] for r in out}
+    want = _fixed_point_pagerank(edges)
+    assert got_fp == want  # EXACT integer equality, no approx
+    # the double projection is consistent with the fixed-point value
+    for r in out:
+        assert r["rank"] == pytest.approx(r["rank_fp"] / PR_SCALE, rel=1e-15)
+    # and the fixed-point result tracks true float PageRank to ~1e-13
+    float_rank = {v: fp / PR_SCALE for v, fp in want.items()}
+    ref = _float_pagerank(edges)
+    for v in ref:
+        assert float_rank[v] == pytest.approx(ref[v], rel=1e-10), v
+
+
+def _float_pagerank(edges, iters=PR_ITERS):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
     outdeg = {}
     for s, _ in edges:
@@ -26,23 +63,7 @@ def _numpy_pagerank(edges, iters=PR_ITERS):
         for s, d in edges:
             contrib[d] += rank[s] / outdeg[s]
         rank = {v: PR_TELEPORT / n + PR_DAMPING * contrib[v] for v in nodes}
-    return rank, idx
-
-
-def test_pagerank_matches_hand_oracle(spark):
-    # 4-node graph with a cycle, a hub, and a dangling node (4 -> nothing)
-    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (2, 4)]
-    df = spark.createDataFrame(
-        [("en", s, d) for s, d in edges], "language string, src int, dst int"
-    )
-    got = {
-        r["node"]: r["rank"]
-        for r in pagerank(df, materialize=False).collect()
-    }
-    want, _ = _numpy_pagerank(edges)
-    assert set(got) == set(want)
-    for v in want:
-        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    return rank
 
 
 def test_pagerank_language_subgraphs_independent(spark):
@@ -91,15 +112,23 @@ def test_connected_components_chain_and_islands(spark):
     assert len(got) == 13
 
 
-def test_registry_window_untouched():
-    """Driver executes queries()[:50]; post-window entries must stay after."""
+def test_registry_window_contents():
+    """Driver executes queries()[:50]. Round-4 rotation: the training-
+    pipeline queries dedup_clusters / pagerank_links / contamination hold
+    in-window slots (round-3 verdict item 7); the rotated-out extracts and
+    the exact cosine baseline sit post-window but stay registered (the
+    pytest parity harness checks the FULL registry)."""
     import __spark_entry__ as e
 
     names = list(e.queries())
     first50 = set(names[:50])
-    assert "pagerank_links" not in first50
-    assert "dedup_clusters" not in first50
+    for required in ("dedup_clusters", "pagerank_links", "contamination"):
+        assert required in first50, required
+    for post in ("extract_page", "extract_wd_page", "emb_cosine_topk"):
+        assert post in names and post not in first50, post
     assert len(names) >= 52
+    # every registered query still carries an oracle
+    assert set(e.oracle_sql()) == set(names)
 
 
 def test_pagerank_plan_is_cartesian_free_and_truncated(spark):
@@ -116,6 +145,93 @@ def test_pagerank_plan_is_cartesian_free_and_truncated(spark):
     # lineage truncation: the iterations read the materialized edge/node
     # RDDs, not a replayed 2-join resolution subtree per reference
     assert "Scan ExistingRDD" in p, p
+
+
+def _union_find_labels(pairs):
+    """Pure-Python union-find oracle, labels canonicalized to the min node
+    id per component (shared by the label- and star-algorithm tests)."""
+    touched = sorted({x for p in pairs for x in p})
+    parent = {x: x for x in touched}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for x in touched:
+        groups.setdefault(find(x), []).append(x)
+    return {x: min(g) for g in groups.values() for x in g}
+
+
+def test_star_cc_long_chain_in_log_rounds(spark):
+    """A 300-node chain has diameter 299: min-label propagation RAISES at
+    max_iters=20, while large-star/small-star converges in O(log n) rounds
+    with correct labels (round-3 verdict item 2)."""
+    import math
+
+    import pytest as _pt
+
+    from wikipedia_wikidata_spark.operators.graph import (
+        connected_components, connected_components_star,
+    )
+
+    n = 300
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=20, algorithm="label")
+    rounds: list[int] = []
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, _rounds_out=rounds).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # O(log n), not O(diameter): generous constant, far below the 299
+    # rounds min-label would need
+    assert rounds[0] <= 3 * math.ceil(math.log2(n)) + 2, rounds
+
+
+def test_auto_cc_falls_back_to_star_on_high_diameter(spark):
+    """algorithm='auto' (the dedup_clusters default) must terminate with
+    correct labels even when the label path exhausts max_iters."""
+    from wikipedia_wikidata_spark.operators.graph import connected_components
+
+    pairs = [(i, i + 1) for i in range(120)] + [(500, 501)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iters=5, algorithm="auto").collect()
+    }
+    want = _union_find_labels(pairs)
+    assert got == want
+
+
+def test_star_cc_random_graphs_vs_union_find(spark):
+    """Seeded random graphs: star algorithm vs the union-find oracle —
+    including graphs with singleton-free dense cores and isolated pairs."""
+    import random
+
+    from wikipedia_wikidata_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n, m = 80, rng.randint(25, 100)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == _union_find_labels(pairs), f"trial {trial}"
 
 
 def test_connected_components_random_graphs_vs_union_find(spark):

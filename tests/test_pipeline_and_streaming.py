@@ -32,6 +32,10 @@ def test_pipeline_resume(spark, tmp_path_factory):
     # per-partition lineage present
     assert r1["importance"]["n_partitions"] >= 1
     assert sum(p["rows"] for p in r1["importance"]["partitions"]) == r1["importance"]["rows"]
+    # the spatial stage consulted its own skew diagnostics and recorded them
+    sa = r1["spatial_assign"]
+    assert sa["pip_salt"] >= 1 and sa["pip_cell_skew"]["max_count"] >= 1
+    assert sa["n_shards"] >= 4
 
     # simulate a kill after 'scored': drop everything downstream of it
     cat = Catalog(out)
@@ -80,6 +84,40 @@ def test_pipeline_resume(spark, tmp_path_factory):
     assert not r3["tiles"]["skipped"] and r3["tiles"]["rows"] > 0
     assert r3["scored"]["skipped"]
     assert not os.path.exists(orphan)
+
+
+def test_pipeline_selects_salt_on_hot_cell_corpus(spark, tmp_path_factory, monkeypatch):
+    """When a cell's point count exceeds the mega-cell threshold, the
+    shipped pipeline must pick salt > 1 FROM ITS OWN DIAGNOSTICS and the
+    salted spatial stage must commit the identical row count (round-3
+    verdict item 1: the pipeline consumes skew_stats, not a hand guess).
+    The sf0.001 corpus already clusters points into urban cells; lowering
+    the threshold below the hottest cell's count makes it 'mega'."""
+    import wikipedia_wikidata_spark.config as cfg
+    from wikipedia_wikidata_spark.operators.spatial import suggest_pip_salt
+
+    out_ref = str(tmp_path_factory.mktemp("pipe_nosalt"))
+    ref = run_pipeline(spark, SF_DIR_SMALL, out_ref)
+    assert ref["spatial_assign"]["pip_salt"] == 1  # default threshold: cold
+
+    monkeypatch.setattr(cfg, "MEGA_CELL_THRESHOLD", 3)
+    out_hot = str(tmp_path_factory.mktemp("pipe_salt"))
+    hot = run_pipeline(spark, SF_DIR_SMALL, out_hot)
+    assert hot["spatial_assign"]["pip_salt"] > 1
+    # salting is result-invariant at the pipeline level, not just in the
+    # operator test: same committed rows either way
+    assert hot["spatial_assign"]["rows"] == ref["spatial_assign"]["rows"]
+
+    # and the diagnostic itself: hot-cell points -> salt > 1, uniform -> 1
+    pts = spark.createDataFrame(
+        # res-5 cells are ~0.044 deg; a 0.0004-step ramp from lat/lon 0
+        # stays inside one cell (boundary at 0), the rest spread out
+        [(0.0004 * i, 0.0004 * i) for i in range(50)]
+        + [(float(i), float(i)) for i in range(1, 11)],
+        "lat double, lon double",
+    )
+    salt, stats = suggest_pip_salt(pts, res=5, target_rows_per_key=10)
+    assert salt == 5 and stats["max_count"] == 50
 
 
 def test_multimodal_stub(spark):
@@ -386,6 +424,41 @@ def test_sharded_write_resumes_without_recomputing(spark, tmp_path_factory):
     # pending state is cleared by the successful commit
     import os
     assert not [d for d in os.listdir(cat.path("t")) if d.startswith("_pending-")]
+
+
+def test_sharded_commit_spares_concurrent_pending_state(spark, tmp_path_factory):
+    """A commit must clear ONLY its own _pending-<digest> dir: a concurrent
+    write_sharded on the same table (different fingerprint) owns a live
+    pending dir whose deletion would crash its next os.rename and destroy
+    its resume state. Stale (age-gated) foreign dirs ARE reclaimed."""
+    import os
+    import time
+
+    from wikipedia_wikidata_spark.sources import catalog as catmod
+
+    cat = Catalog(str(tmp_path_factory.mktemp("shardcat2")))
+    root = cat.path("t")
+    os.makedirs(root)
+    # a FRESH foreign pending dir = a live concurrent writer mid-run
+    live = os.path.join(root, "_pending-feedfeedfeed")
+    os.makedirs(os.path.join(live, "shard_00000"))
+    with open(os.path.join(live, "shard_00000", "part-x.parquet"), "w") as f:
+        f.write("x")
+    # a STALE foreign pending dir = a fingerprint nobody will resume
+    stale = os.path.join(root, "_pending-deaddeaddead")
+    os.makedirs(stale)
+    old = time.time() - catmod.TMP_GC_AGE_S - 60
+    os.utime(stale, (old, old))
+
+    def make(k: int):
+        return spark.range(k * 10, k * 10 + 3).withColumn("shard", F.lit(k))
+
+    cat.write_sharded(spark, make, "t", "fpX", "runX", 2)
+    left = {d for d in os.listdir(root) if d.startswith("_pending-")}
+    assert os.path.basename(live) in left, "live concurrent pending dir deleted"
+    assert os.path.basename(stale) not in left, "stale pending dir not reclaimed"
+    # and the live writer's resume state is intact
+    assert os.path.isfile(os.path.join(live, "shard_00000", "part-x.parquet"))
 
 
 def test_streaming_dedup_within_watermark_and_restart(spark, tmp_path_factory):

@@ -151,3 +151,24 @@ def test_tsv_sink_raw_quotes(spark, tmp_path_factory):
         'en\ta\t"Weird_Al"_Yankovic\t0.5\tQ100',
         "en\ta\tPlain\t1e-10\tQ101",
     ]
+
+
+def test_tsv_sink_raises_on_tab_in_title(spark, tmp_path_factory):
+    """The raw-quoting invariant's guard must FAIL LOUDLY, not corrupt: a
+    tab-bearing title under unquoted emission would silently shift every
+    downstream column; sinks.py raises inside the write job instead."""
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    out = str(tmp_path_factory.mktemp("tsvg") / "x.tsv.gz")
+    df = spark.createDataFrame(
+        [("en", "a", "Tab\there", 0.5, "Q100"),
+         ("en", "a", "Plain", 0.25, "Q101")],
+        "language string, type string, title string, importance double, wikidata_id string",
+    )
+    with pytest.raises(SparkRuntimeException) as exc:
+        write_importance_tsv(df, out)
+    assert "title contains tab/newline" in str(exc.value)
+    assert not os.path.exists(out)  # nothing promoted to the final path

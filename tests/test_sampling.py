@@ -20,6 +20,23 @@ def test_hash_sample_stable_under_repartitioning(spark):
     assert len(a & d) / len(a) < 0.5
 
 
+def test_hash_sample_threshold_matches_oracle_literal(spark):
+    """Fractions whose f*1e6 is inexact in binary (0.3 -> 299999.99...) must
+    use the ROUNDED threshold 300000, matching any hand-written oracle's
+    `< fraction * 1000000` literal (ADVICE round 3)."""
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    got = {r["k"] for r in hash_sample(df, "k", 0.3).collect()}
+    from wikipedia_wikidata_spark.operators.sampling import SAMPLE_MOD, _sample_hash
+
+    want = {
+        r["k"]
+        for r in df.filter(
+            F.pmod(_sample_hash("k", 42), F.lit(SAMPLE_MOD)) < F.lit(300000)
+        ).collect()
+    }
+    assert got == want
+
+
 def test_hash_sample_is_narrow(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "k")
     p = hash_sample(df, "k", 0.5)._sc._jvm.PythonSQLUtils.explainString(

@@ -290,6 +290,34 @@ def test_catalog_merge_partition_pruned(spark, tmp_path_factory):
     assert old[("en", 2)] == "b" and ("en", 9) not in old
 
 
+def test_catalog_merge_rejects_unencodable_partition_values(spark, tmp_path_factory):
+    """The carry-over matches raw f'col=value' dir names, so a NULL (Spark
+    writes __HIVE_DEFAULT_PARTITION__) or a Hive-escaped value must be
+    rejected up front — silently duplicating rows is the failure mode."""
+    import pytest
+
+    from wikipedia_wikidata_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path_factory.mktemp("mergecat2")))
+    base = spark.createDataFrame(
+        [("en", 1, "a"), (None, 2, "b")],
+        "language string, k long, payload string",
+    )
+    cat.write(spark, base, "t", "fp1", "r1", partition_by=["language"])
+    null_updates = spark.createDataFrame(
+        [(None, 2, "B2")], "language string, k long, payload string"
+    )
+    with pytest.raises(ValueError, match="NULL partition value"):
+        cat.merge(spark, null_updates, "t", ["language", "k"], "fp2", "r2",
+                  partition_by="language")
+    esc_updates = spark.createDataFrame(
+        [("e n/x", 3, "c")], "language string, k long, payload string"
+    )
+    with pytest.raises(ValueError, match="Hive escaping"):
+        cat.merge(spark, esc_updates, "t", ["language", "k"], "fp3", "r3",
+                  partition_by="language")
+
+
 def test_catalog_compact_small_files(spark, tmp_path_factory):
     import os
 

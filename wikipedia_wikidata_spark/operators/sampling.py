@@ -39,11 +39,14 @@ def _sample_hash(key_col: str, seed: int):
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float, seed: int = DEFAULT_SEED
 ) -> DataFrame:
-    """Keep rows where hash60(seed:key) mod 1e6 < fraction*1e6 — a
-    deterministic, retry/resume-stable Bernoulli sample keyed on content."""
+    """Keep rows where hash60(seed:key) mod 1e6 < round(fraction*1e6) — a
+    deterministic, retry/resume-stable Bernoulli sample keyed on content.
+    round(), not int(): float truncation turns 0.3*1e6 into 299999 and the
+    Spark predicate silently diverges from a hand-written oracle threshold
+    (int(0.3 * 1e6) == 299999 on binary floats)."""
     return df.filter(
         F.pmod(_sample_hash(key_col, seed), F.lit(SAMPLE_MOD))
-        < int(fraction * SAMPLE_MOD)
+        < int(round(fraction * SAMPLE_MOD))
     )
 
 

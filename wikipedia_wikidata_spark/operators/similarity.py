@@ -74,8 +74,29 @@ def lsh_bucket_col(vec_col: str, n_planes: int = N_PLANES, table: int = 0) -> Co
     return bucket
 
 
+# Exact-baseline pair budget: cosine_topk evaluates (N/query_mod)*N pairs;
+# query_mod_for scales the stride so that stays <= MAX_EXACT_PAIRS at any N
+# (round-3 verdict: no registered query may have a plan quadratic in N).
+MAX_EXACT_PAIRS = 10**8
+
+
+def query_mod_for(n_rows: int, max_pairs: int = MAX_EXACT_PAIRS) -> int:
+    """Smallest stride (>= the historical default 10) keeping the exact
+    brute-force pair count (n/mod)*n under ``max_pairs``. Deterministic from
+    the row count, so the DuckDB oracle derives the identical stride from
+    the parquet footer (same protocol as n_planes_for)."""
+    import math
+
+    return max(10, math.ceil(n_rows * n_rows / max_pairs))
+
+
 def cosine_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = 10) -> DataFrame:
-    """Exact top-k cosine neighbors for every query_mod-th vector."""
+    """Exact top-k cosine neighbors for every query_mod-th vector — the
+    exact BASELINE for the ANN paths (BroadcastNestedLoopJoin by design;
+    callers at scale pass query_mod_for(n) so the pair count stays bounded:
+    at 10^9 vectors the stride is 10^10 and this degenerates to a spot-check
+    of a handful of query vectors, which is exactly its job — the scale
+    paths are ann_lsh_topk / ann_ivf_topk)."""
     base = emb.select("vec_id", "embedding")
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")

@@ -215,6 +215,32 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int = 5,
     return out.drop("_salt") if salt else out
 
 
+def suggest_pip_salt(
+    points: DataFrame,
+    res: int = 5,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    target_rows_per_key: int | None = None,
+) -> tuple[int, dict]:
+    """Measure-then-salt (north_rule 'skew handled explicitly'): per-cell
+    point histogram at the PIP join's resolution -> the salt factor that
+    spreads the hottest cell down to ``target_rows_per_key`` (default
+    MEGA_CELL_THRESHOLD, the same threshold pip_join salts at). Returns
+    (salt, skew_stats dict); salt == 1 means no salting needed. One
+    map-side-combined groupBy over the points — a scalar diagnostic job the
+    pipeline runs once before the spatial stage, so the shipped salt comes
+    from OBSERVED data, not a guess (operators/skew.py is the generic
+    measurement; this binds it to pip_join's key space)."""
+    from ..config import CELL_RES_BITS, MEGA_CELL_THRESHOLD
+    from .skew import skew_stats
+
+    bits = CELL_RES_BITS[res]
+    px, py = xy_cols(F.col(point_cols[0]), F.col(point_cols[1]), bits)
+    keyed = points.select(px.alias("_px"), py.alias("_py"))
+    target = target_rows_per_key or MEGA_CELL_THRESHOLD
+    stats = skew_stats(keyed, ["_px", "_py"], target_rows_per_key=target)
+    return stats["suggested_salt"], stats
+
+
 def salt_hot_cells(df: DataFrame, cell_col: str, threshold: int, n_salt: int,
                    id_col: str) -> DataFrame:
     """Explicit skew handling: rows in cells above ``threshold`` get a salt

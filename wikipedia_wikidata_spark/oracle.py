@@ -482,7 +482,10 @@ ORACLES["importance_39lang"] = _importance_39lang_oracle()
 
 # Span-sequence invariant digest (input_hint): md5 of the offset-ordered
 # kind\x1ftext\x1fmedia_ref\x1foffset serialization per doc — DuckDB's
-# string_agg ORDER BY offset mirrors Spark's array_sort + array_join.
+# string_agg ORDER BY (off, kind, text, media_ref) mirrors Spark's
+# array_sort over the FULL (offset, kind, text, media_ref) struct: the
+# extra keys are the tie-break for documents with two spans at one offset
+# (offset-only ordering would be nondeterministic there).
 ORACLES["spans_roundtrip"] = f"""WITH s AS (
   SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
          s."offset" AS off
@@ -491,7 +494,7 @@ ORACLES["spans_roundtrip"] = f"""WITH s AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        md5(string_agg(
          kind || chr(31) || text || chr(31) || media_ref || chr(31) || CAST(off AS VARCHAR),
-         chr(30) ORDER BY off)) AS span_md5,
+         chr(30) ORDER BY off, kind, text, media_ref)) AS span_md5,
        TRUE AS roundtrip_ok
 FROM s GROUP BY doc_id"""
 
@@ -551,11 +554,18 @@ ORACLES["checkpoint_lineage"] = _checkpoint_lineage_oracle()
 
 def _pagerank_oracle() -> str:
     """Unrolled fixed-iteration PageRank mirroring operators/graph.pagerank
-    term-for-term: same edge resolution, same 0.15/0.85 literals, same
-    lost-dangling-mass convention, ranks quantized to e9 on both engines."""
-    from .operators.graph import PR_DAMPING, PR_ITERS, PR_TELEPORT
+    term-for-term IN INT64 FIXED POINT (scale 1e15): same edge resolution,
+    same 15/100 / 85/100 integer literals, same lost-dangling-mass
+    convention, same `//` floor divisions. Integer sums are order-invariant,
+    so this oracle is bit-equal to the Spark side at any graph size (no
+    float-summation bucket-boundary tail risk — round-3 ADVICE)."""
+    from .operators.graph import (
+        PR_DAMPING, PR_ITERS, PR_SCALE, PR_TELEPORT,
+    )
 
-    ctes = [""",
+    d_num, t_num = round(PR_DAMPING * 100), round(PR_TELEPORT * 100)
+    t_fp = PR_SCALE * t_num // 100
+    ctes = [f""",
 edges AS (
   SELECT DISTINCT p.language, p.pl_from AS src, pg.page_id AS dst
   FROM pagelink p
@@ -568,23 +578,23 @@ pr_nodes AS (
   UNION
   SELECT language, dst FROM edges
 ),
-pr_n AS (SELECT language, CAST(count(*) AS DOUBLE) AS n FROM pr_nodes GROUP BY 1),
+pr_n AS (SELECT language, CAST(count(*) AS BIGINT) AS n FROM pr_nodes GROUP BY 1),
 pr_outdeg AS (
-  SELECT language, src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY 1, 2
+  SELECT language, src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1, 2
 ),
 pr_r0 AS (
-  SELECT nd.language, nd.node, 1.0 / nn.n AS rank
+  SELECT nd.language, nd.node, {PR_SCALE} // nn.n AS rank_fp
   FROM pr_nodes nd JOIN pr_n nn ON nn.language = nd.language
 )"""]
     for i in range(1, PR_ITERS + 1):
         ctes.append(f""",
 pr_r{i} AS (
   SELECT nd.language, nd.node,
-         {PR_TELEPORT} / nn.n + {PR_DAMPING} * COALESCE(c.c, 0.0) AS rank
+         ({t_fp} // nn.n) + ({d_num} * COALESCE(c.c, 0)) // 100 AS rank_fp
   FROM pr_nodes nd
   JOIN pr_n nn ON nn.language = nd.language
   LEFT JOIN (
-    SELECT e.language, e.dst AS node, SUM(r.rank / od.od) AS c
+    SELECT e.language, e.dst AS node, SUM(r.rank_fp // od.od) AS c
     FROM edges e
     JOIN pr_r{i - 1} r ON r.language = e.language AND r.node = e.src
     JOIN pr_outdeg od ON od.language = e.language AND od.src = e.src
@@ -593,7 +603,7 @@ pr_r{i} AS (
 )""")
     final = f"""
 SELECT r.language, pg.page_title AS title,
-       CAST(floor(r.rank * 1000000000.0 + 0.5) AS BIGINT) AS rank_e9
+       CAST(r.rank_fp // 1000000 AS BIGINT) AS rank_e9
 FROM pr_r{PR_ITERS} r
 JOIN page pg ON pg.language = r.language AND pg.page_id = r.node"""
     return q("".join(ctes) + final)

@@ -467,7 +467,9 @@ JOIN shd sb ON p.doc_b = sb.doc_id""",
     "dedup_simhash": simhash_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_sql(),
     "emb_near_dup": emb_near_dup_sql(),
-    "emb_cosine_topk": cosine_topk_sql(),
+    # stride derived from the parquet footer exactly like the Spark side
+    # (query_mod_for) — 10 at sf0.01, grows with N^2 to bound exact pairs
+    "emb_cosine_topk": None,  # filled below (needs query_mod_for import)
     "emb_ann_lsh": ann_lsh_sql(),
     "emb_ann_ivf": ann_ivf_sql(),
     "text_lang_id": lang_id_sql(),
@@ -592,6 +594,17 @@ FROM comp GROUP BY 1"""
 
 
 TRAINING_ORACLES["emb_dedup_clusters"] = _emb_clusters_sql()
+
+
+def _cosine_topk_bounded_sql() -> str:
+    """Stride from the parquet footer, identical to the Spark side
+    (operators/similarity.query_mod_for) — 10 at sf0.01."""
+    from .operators.similarity import query_mod_for
+
+    return cosine_topk_sql(query_mod=query_mod_for(embeddings_rows()))
+
+
+TRAINING_ORACLES["emb_cosine_topk"] = _cosine_topk_bounded_sql()
 
 TRAINING_ORACLES["training_corpus_keep"] = f"""
 SELECT q.doc_id, q.quality_e6

@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from ..config import LANGUAGES, spans_dir_for
 from ..operators import extract as ex
-from ..operators.spatial import knn_nearest, knn_release, pip_join
+from ..operators.spatial import (
+    knn_nearest, knn_release, pip_join, suggest_pip_salt,
+)
 from ..operators.tiles import tile_importance
 from ..sources.catalog import Catalog
 from . import importance as imp
@@ -37,10 +39,23 @@ VIEW_NAMES = [
 
 PIPELINE_VERSION = 5
 
-# Shard count for the shard-granular resumable spatial stage: resume
-# granularity vs K× replay of the (small) polygon build side. On a real
-# cluster this scales with the corpus (e.g. 256 shards at 10^12 docs).
-SPATIAL_SHARDS = 4
+# Shard sizing for the shard-granular resumable spatial stage: resume
+# granularity vs K× replay of the (small) polygon build side. Derived from
+# the committed entity_points row count (deterministic per fingerprint, so
+# a resume re-derives the identical shard split): one shard per
+# SPATIAL_SHARD_ROWS points, floored at 4 (test-scale resume granularity)
+# and capped at 256 (the docstring's 10^12-doc figure — beyond that, shard
+# count stops paying because each shard is already thousands of tasks).
+SPATIAL_SHARDS_MIN = 4
+SPATIAL_SHARDS_MAX = 256
+SPATIAL_SHARD_ROWS = 1_000_000
+
+
+def spatial_shards_for(n_points: int) -> int:
+    return max(
+        SPATIAL_SHARDS_MIN,
+        min(SPATIAL_SHARDS_MAX, -(-n_points // SPATIAL_SHARD_ROWS)),
+    )
 
 
 def run_pipeline(
@@ -133,22 +148,40 @@ def run_pipeline(
     # shard-granular resumable stage (north_star: a killed job resumes
     # without recomputing completed cells): points are split by a stable
     # hash, each shard's PIP assignment commits atomically on its own, and
-    # a resume rebuilds only the missing shards (catalog.write_sharded)
-    def spatial_shard(k: int) -> DataFrame:
-        sub = pts.filter(
-            F.pmod(F.xxhash64("wikidata_id"), F.lit(SPATIAL_SHARDS)) == k
-        )
-        return pip_join(sub, v["polygons"].select("item", "verts"), res=5).select(
-            "language", "title", "wikidata_id", F.col("item").alias("place_item")
-        )
-
+    # a resume rebuilds only the missing shards (catalog.write_sharded).
+    # Shard count derives from the committed point count; the PIP salt
+    # derives from the MEASURED per-cell histogram (suggest_pip_salt) — the
+    # pipeline consumes its own skew diagnostics instead of a hand guess.
+    # Both are pure functions of the committed entity_points snapshot, so a
+    # resume under the same fingerprint re-derives the identical plan.
     if cat.is_complete("spatial_assign", fp):
         m = cat.manifest("spatial_assign")
         m["skipped"] = True
         report["spatial_assign"] = m
     else:
+        n_shards = spatial_shards_for(report["entity_points"]["rows"])
+        salt, skstats = suggest_pip_salt(pts, res=5)
+
+        def spatial_shard(k: int) -> DataFrame:
+            sub = pts.filter(
+                F.pmod(F.xxhash64("wikidata_id"), F.lit(n_shards)) == k
+            )
+            return pip_join(
+                sub, v["polygons"].select("item", "verts"), res=5,
+                salt=salt if salt > 1 else None,
+            ).select(
+                "language", "title", "wikidata_id", F.col("item").alias("place_item")
+            )
+
         m = cat.write_sharded(
-            spark, spatial_shard, "spatial_assign", fp, run_id, SPATIAL_SHARDS
+            spark, spatial_shard, "spatial_assign", fp, run_id, n_shards,
+            extra={
+                "pip_salt": salt,
+                "pip_cell_skew": {
+                    k: skstats[k]
+                    for k in ("n_keys", "max_count", "p99", "skew_ratio")
+                },
+            },
         )
         m["skipped"] = False
         report["spatial_assign"] = m

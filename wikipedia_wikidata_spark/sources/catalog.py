@@ -152,9 +152,15 @@ class Catalog:
         nested _temporary/ attempt dirs without touching the top-level
         mtime, so a long-running live write keeps its recursive mtime
         fresh while a killed one goes stale everywhere."""
+        self._gc_stale_dirs(root, lambda d: ".tmp-" in d)
+
+    def _gc_stale_dirs(self, root: str, match, keep: str | None = None) -> None:
+        """Remove dirs under ``root`` matching ``match`` whose RECURSIVE
+        mtime is older than TMP_GC_AGE_S (never ``keep``). Shared by the
+        .tmp-* commit-orphan GC and the foreign _pending-* shard-state GC."""
         now = time.time()
         for d in os.listdir(root):
-            if ".tmp-" not in d:
+            if not match(d) or d == keep:
                 continue
             p = os.path.join(root, d)
             newest = 0.0
@@ -235,6 +241,7 @@ class Catalog:
         fingerprint: str,
         run_id: str,
         n_shards: int,
+        extra: dict | None = None,
     ) -> dict:
         """Shard-granular RESUMABLE snapshot commit — the north_star's
         'a killed job resumes without recomputing completed cells'.
@@ -265,6 +272,14 @@ class Catalog:
             f"{fingerprint}:{n_shards}".encode()
         ).hexdigest()[:12]
         pend = os.path.join(root, f"_pending-{digest}")
+        # reclaim STALE foreign pending dirs (other fingerprints) through the
+        # same recursive-mtime age gate as .tmp-* orphans; never this run's
+        # own dir (it IS the resume state) and never a fresh one (a live
+        # concurrent writer keeps its recursive mtime fresh)
+        self._gc_stale_dirs(
+            root, lambda d: d.startswith("_pending-"),
+            keep=os.path.basename(pend),
+        )
         os.makedirs(pend, exist_ok=True)
 
         def shard_dir(k: int) -> str:
@@ -300,12 +315,18 @@ class Catalog:
                     )
         m = self._commit_dir(
             spark, vtmp, name, version, fingerprint, run_id, t0,
-            extra={"n_shards": n_shards, "resumed_shards": len(resumed)},
+            extra={
+                "n_shards": n_shards,
+                "resumed_shards": len(resumed),
+                **(extra or {}),
+            },
         )
-        # the commit supersedes ALL pending state for this table
-        for d in os.listdir(root):
-            if d.startswith("_pending-"):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        # the commit supersedes THIS RUN's pending state only: a concurrent
+        # write_sharded under a different fingerprint owns its own
+        # _pending-<digest> dir (deleting it mid-run would crash its next
+        # os.rename and destroy its resume state); stale foreign dirs are
+        # reclaimed by the age-gated GC above on the next write
+        shutil.rmtree(pend, ignore_errors=True)
         return m
 
     def merge(
@@ -352,6 +373,25 @@ class Catalog:
             r[partition_by]
             for r in updates.select(partition_by).distinct().collect()
         ]
+        # the carry-over below compares f"{partition_by}={v}" against on-disk
+        # dir names, so the touched values must round-trip through Spark's
+        # partition-dir encoding verbatim: a NULL writes
+        # __HIVE_DEFAULT_PARTITION__ (the 'col=None' literal would silently
+        # carry the old partition over ALONGSIDE the merged rows — row
+        # duplication), and a value needing Hive %-escaping would crash
+        # copytree on a name mismatch. Reject both up front.
+        for v in touched:
+            if v is None:
+                raise ValueError(
+                    "merge(): NULL partition value in updates — Spark encodes "
+                    "it as __HIVE_DEFAULT_PARTITION__, which the carry-over "
+                    "cannot match; filter NULLs or use a sentinel value"
+                )
+            if not re.fullmatch(r"[A-Za-z0-9._\-]+", str(v)):
+                raise ValueError(
+                    f"merge(): partition value {v!r} needs Hive escaping in "
+                    "the dir name; only [A-Za-z0-9._-]+ values are mergeable"
+                )
         self._gc_orphaned_tmp(root)
         cur_v = self.current_version(name)
         assert cur_v is not None, "merge() needs an existing versioned table"
