@@ -24,6 +24,15 @@ orthogonal defense and are ON in the shipped session defaults). The salt is
 NOT hand-picked: the leg calls suggest_pip_salt and uses what the
 diagnostics recommend.
 
+Broadcast is DISABLED (autoBroadcastJoinThreshold=-1): this bench models
+the at-scale regime. At toy scale Catalyst broadcasts the 224-polygon
+coverage side and the PIP join runs as a BroadcastHashJoin inside the point
+scan — no shuffle on the cell key, so single-key skew physically cannot
+form (measured here: unsalted == salted wall within noise with broadcast
+on). At 10^12 documents the polygon/coverage side is far past any broadcast
+threshold and the join IS a shuffle join on (cell_x, cell_y) — one reducer
+task owns the mega-cell key. That is the straggler salting exists for.
+
 Output: one JSON line with per-leg wall seconds, the dominant stage's task
 duration quantiles (p50/p75/p95/p99/max), straggler ratio (max/p50), and
 the measured skew stats + chosen salt.
@@ -124,6 +133,8 @@ def run_leg(salted: bool) -> dict:
         .master("local[8]")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "false")
+        # model the at-scale shuffle-join regime (see module docstring)
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.sql.session.timeZone", "UTC")

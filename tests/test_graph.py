@@ -66,6 +66,21 @@ def _float_pagerank(edges, iters=PR_ITERS):
     return rank
 
 
+def test_pagerank_long_run_checkpoint_cadence_exact(spark):
+    """25 iterations crosses the checkpoint_every=10 cadence twice; the
+    periodic localCheckpoint must not change the exact fixed-point result
+    (and keeps the unrolled lineage bounded for the long-iteration regime)."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (2, 4), (4, 1)]
+    df = spark.createDataFrame(
+        [("en", s, d) for s, d in edges], "language string, src int, dst int"
+    )
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iters=25, checkpoint_every=10).collect()
+    }
+    assert got == _fixed_point_pagerank(edges, iters=25)
+
+
 def test_pagerank_language_subgraphs_independent(spark):
     """The same graph under two language keys ranks identically per key."""
     edges = [(1, 2), (2, 1), (2, 3)]

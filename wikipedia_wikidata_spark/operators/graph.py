@@ -85,6 +85,7 @@ def pagerank(
     damping: float = PR_DAMPING,
     teleport: float = PR_TELEPORT,
     materialize: bool = True,
+    checkpoint_every: int = 10,
 ) -> DataFrame:
     """Fixed-iteration PageRank per independent `language` subgraph.
 
@@ -99,6 +100,14 @@ def pagerank(
     + (damping_num * sum) div damping_den. Integer sums are order-invariant,
     so the result is bit-identical across engines and partitionings —
     damping/teleport must be expressible as hundredths for this (0.85 = 85/100).
+
+    checkpoint_every: at hundreds of iterations the unrolled rank lineage
+    itself becomes the bottleneck (planning time + stack growth), so the
+    rank DataFrame is localCheckpointed every ``checkpoint_every``
+    iterations (production: a catalog snapshot commit at the same cadence —
+    durable AND resumable — as plans/pipeline.py does between stages). The
+    default 10 never triggers at the shipped PR_ITERS=5, so the short-run
+    plan is unchanged.
 
     materialize=True localCheckpoints the edge and node sets once up front:
     the unrolled plan references edges ~3x per iteration (ew + both arms of
@@ -136,7 +145,9 @@ def pagerank(
         "language", "node",
         F.expr(f"{PR_SCALE} div n_nodes").alias("rank_fp"),
     )
-    for _ in range(iters):
+    for i in range(iters):
+        if materialize and checkpoint_every and i > 0 and i % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()  # truncate long-run lineage
         contribs = (
             ew.join(
                 ranks.select(
