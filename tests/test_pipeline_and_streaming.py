@@ -461,6 +461,56 @@ def test_sharded_commit_spares_concurrent_pending_state(spark, tmp_path_factory)
     assert os.path.isfile(os.path.join(live, "shard_00000", "part-x.parquet"))
 
 
+def test_stream_static_enrich_matches_batch_and_restarts(spark, tmp_path_factory):
+    """Stream-static broadcast enrichment: micro-batches join a static dim
+    statelessly; the closed-input drain must equal the batch join exactly,
+    and a second drain after new files arrive (restart from checkpoint)
+    emits only the new rows — no duplicates, no loss."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_spark.streaming.events import run_stream_enrich
+
+    root = tmp_path_factory.mktemp("stream_enrich")
+    in_dir, out_dir, ck_dir = root / "in", root / "out", root / "ck"
+    in_dir.mkdir()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    half = t.num_rows // 2
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 0.25), ("purchase", 10.0)],
+        "event_type string, type_weight double",
+    )
+
+    pq.write_table(t.slice(0, half), str(in_dir / "part-0.parquet"))
+    got1 = run_stream_enrich(
+        spark, str(in_dir), dim, str(out_dir), str(ck_dir)
+    ).collect()
+    ids1 = sorted(r["event_id"] for r in got1)
+    assert len(ids1) == len(set(ids1))
+
+    # 'restart': fresh query, same checkpoint, second half delivered
+    pq.write_table(t.slice(half), str(in_dir / "part-1.parquet"))
+    got2 = run_stream_enrich(
+        spark, str(in_dir), dim, str(out_dir), str(ck_dir)
+    ).collect()
+    ids2 = sorted(r["event_id"] for r in got2)
+    assert len(ids2) == len(set(ids2)), "restart duplicated rows"
+
+    # closed-input equality with the batch join (the oracle)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = (
+        ev.join(F.broadcast(dim), "event_type")
+        .select(
+            "event_id",
+            F.floor(F.col("value") * F.col("type_weight") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("weighted_value_e6"),
+        )
+    )
+    want = {(r["event_id"], r["weighted_value_e6"]) for r in batch.collect()}
+    got = {(r["event_id"], r["weighted_value_e6"]) for r in got2}
+    assert got == want and len(want) > 0
+
+
 def test_streaming_dedup_within_watermark_and_restart(spark, tmp_path_factory):
     """Streaming exact dedup (dropDuplicatesWithinWatermark): an
     at-least-once upstream (redelivered file) emits each event_id once,

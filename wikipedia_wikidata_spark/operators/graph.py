@@ -19,10 +19,11 @@ Scale design (100 TB / 10^9-node graph):
   resolution joins from replaying O(iters) times (asserted by
   tests/test_graph.py::test_pagerank_plan_is_cartesian_free_and_truncated,
   which pins `Scan ExistingRDD` in the iterated plan).
-- Fixed iteration count (default 5) keeps the lineage shallow enough to skip
-  checkpointing; a production run at hundreds of iterations would commit
-  ranks through sources/catalog.Catalog every ~10 iterations (the staged
-  boundary plans/pipeline.py already uses) to cut lineage and enable resume.
+- Fixed iteration count (default 5) keeps the rank lineage shallow; longer
+  runs localCheckpoint the ranks every ``checkpoint_every`` (default 10)
+  iterations, and a production run would commit them through
+  sources/catalog.Catalog at the same cadence (the staged boundary
+  plans/pipeline.py already uses) to make the truncation durable/resumable.
 - Dangling-node mass is NOT redistributed (the "lost mass" PageRank
   variant): rank = teleport/N + damping * sum(contribs). This keeps every
   iteration a pure local aggregate — redistributing would add a per-language

@@ -125,9 +125,22 @@ class Catalog:
         run_id: str,
         partition_by: list[str] | None = None,
         extra: dict | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
     ) -> dict:
         """Atomic snapshot commit with per-partition lineage; earlier
-        snapshots remain readable (time travel)."""
+        snapshots remain readable (time travel).
+
+        cluster_by: Iceberg SORTED BY analog — range-partition + sort the
+        rows on these columns before writing, so parquet row-group min/max
+        stats become TIGHT, DISJOINT ranges and any scan filtered on a
+        cluster-key range skips whole files/row groups at the reader level
+        (Spark pushes the filter into the parquet reader; the footer stats
+        do the pruning). This is the data-locality lever for the spatial
+        tables at 10^12 rows: cell-clustered points make a viewport query
+        touch only the files whose cell range overlaps it. Orthogonal to
+        ``partition_by`` (dir-level pruning on low-cardinality keys vs
+        stat-level pruning on high-cardinality sort keys)."""
         t0 = time.time()
         root = self.path(name)
         os.makedirs(root, exist_ok=True)
@@ -136,10 +149,21 @@ class Catalog:
         version = (cur["version"] + 1) if cur else 1
         vdir = os.path.join(root, f"v{version:05d}")
         tmp = vdir + ".tmp-" + uuid.uuid4().hex[:8]
+        if cluster_by:
+            # repartitionByRange gives DISJOINT per-file key ranges (a plain
+            # sortWithinPartitions on hash-partitioned data leaves every file
+            # spanning the full key domain — no pruning win)
+            if cluster_partitions:
+                df = df.repartitionByRange(cluster_partitions, *cluster_by)
+            else:
+                df = df.repartitionByRange(*cluster_by)
+            df = df.sortWithinPartitions(*cluster_by)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        if cluster_by:
+            extra = {**(extra or {}), "cluster_by": list(cluster_by)}
         return self._commit_dir(
             spark, tmp, name, version, fingerprint, run_id, t0, extra=extra
         )
@@ -431,16 +455,26 @@ class Catalog:
         target_files: int,
         fingerprint: str,
         run_id: str,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Small-file compaction: rewrite the current snapshot into
         ``target_files`` files as a new version (identical rows, same
         schema). The small-files problem is the classic failure mode of
         long-lived incrementally-merged tables at scale — thousands of tiny
         parquet files turn every scan into an open()-bound crawl; periodic
-        compaction restores scan bandwidth. Old versions remain readable."""
-        df = self.read(spark, name).repartition(target_files)
+        compaction restores scan bandwidth. Old versions remain readable.
+
+        cluster_by: re-cluster while compacting (incremental merges
+        interleave key ranges across files; a clustered compaction restores
+        the disjoint-range layout that makes row-group pruning work)."""
+        df = self.read(spark, name)
+        if not cluster_by:
+            df = df.repartition(target_files)
         return self.write(
-            spark, df, name, fingerprint, run_id, extra={"compaction": True}
+            spark, df, name, fingerprint, run_id,
+            extra={"compaction": True},
+            cluster_by=cluster_by,
+            cluster_partitions=target_files if cluster_by else None,
         )
 
     def drop(self, name: str) -> None:

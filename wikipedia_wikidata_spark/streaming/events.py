@@ -100,6 +100,63 @@ def run_stream_file_sink(
     return spark.read.schema(TUMBLING_OUT_SCHEMA).parquet(out_dir)
 
 
+ENRICH_OUT_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string,"
+    " value double, type_weight double, weighted_value_e6 long"
+)
+
+
+def run_stream_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    dim: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the streaming analog of the
+    batch pipeline's small-dimension joins (J6/J13): each micro-batch of
+    events joins a STATIC dimension (event_type -> weight) via a broadcast
+    hash join, so the stream side never shuffles and the join adds no
+    state (stream-static joins are stateless by construction — only
+    stream-stream joins buffer rows). Inner join: unknown event types drop,
+    mirroring the batch dim-join semantics. Append parquet sink + durable
+    checkpoint; restart-safe like the other streaming paths.
+
+    At scale the dim is the broadcast side (place types: 200 rows; language
+    weights: 39 rows); a dim too big to broadcast belongs in the batch
+    layer, not inside a per-micro-batch join."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    enriched = (
+        src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .join(F.broadcast(dim), "event_type")
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts_ltz")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "type_weight",
+            F.floor(F.col("value") * F.col("type_weight") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("weighted_value_e6"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(ENRICH_OUT_SCHEMA).parquet(out_dir)
+
+
 DEDUP_OUT_SCHEMA = (
     "event_id long, ts_us long, user_id long, event_type string, value double"
 )
