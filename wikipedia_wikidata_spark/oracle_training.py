@@ -617,6 +617,22 @@ JOIN (
 WHERE q.quality_e6 >= 500000
   AND {hash60_sql("concat('42:', CAST(q.doc_id AS VARCHAR))")} % 1000000 < 500000"""
 
+def _events_enrich_sql() -> str:
+    """Batch mirror of the stream-static broadcast enrichment: on a closed
+    input the drained stream equals this join exactly (inner: unknown
+    event types drop on both sides)."""
+    from .queries_training import ENRICH_DIM
+
+    dim_rows = ", ".join(f"('{t}', {w})" for t, w in ENRICH_DIM)
+    return f"""WITH dim(event_type, type_weight) AS (VALUES {dim_rows})
+SELECT e.event_id, e.event_type, d.type_weight,
+       CAST(floor(e.value * d.type_weight * 1000000.0 + 0.5) AS BIGINT)
+         AS weighted_value_e6
+FROM events e JOIN dim d ON e.event_type = d.event_type"""
+
+
+TRAINING_ORACLES["events_enrich"] = _events_enrich_sql()
+
 TRAINING_ORACLES["top_tokens"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest({words_sql('text')}) AS token FROM documents)

@@ -37,7 +37,7 @@ VIEW_NAMES = [
     "wd_page", "geo_tags", "sitelinks", "places", "polygons",
 ]
 
-PIPELINE_VERSION = 5
+PIPELINE_VERSION = 6  # v6: tiles stage cluster_by (tile_x, tile_y) layout
 
 # Shard sizing for the shard-granular resumable spatial stage: resume
 # granularity vs K× replay of the (small) polygon build side. Derived from
@@ -80,13 +80,16 @@ def run_pipeline(
     )
     report: dict[str, dict] = {}
 
-    def stage(name: str, build, partition_by=None):
+    def stage(name: str, build, partition_by=None, cluster_by=None):
         if cat.is_complete(name, fp):
             m = cat.manifest(name)
             m["skipped"] = True
             report[name] = m
             return
-        m = cat.write(spark, build(), name, fp, run_id, partition_by)
+        m = cat.write(
+            spark, build(), name, fp, run_id, partition_by,
+            cluster_by=cluster_by,
+        )
         m["skipped"] = False
         report[name] = m
 
@@ -198,5 +201,12 @@ def run_pipeline(
     stage("knn", build_knn)
     if built_knn:  # release the one cache knn_nearest returns (skip-safe)
         knn_release(built_knn[0])
-    stage("tiles", lambda: tile_importance(pts), ["zoom"])
+    # zoom dirs for partition pruning + tile_x/tile_y range clustering
+    # inside each dir: a viewport query (tile range at one zoom) prunes to
+    # one partition dir AND skips files whose footer tile range misses the
+    # viewport (catalog cluster_by = the Iceberg SORTED BY analog)
+    stage(
+        "tiles", lambda: tile_importance(pts), ["zoom"],
+        cluster_by=["tile_x", "tile_y"],
+    )
     return report

@@ -350,6 +350,37 @@ def q_training_corpus_keep(spark, sf_dir):
     return hash_sample(kept, "doc_id", 0.5).select("doc_id", "quality_e6")
 
 
+ENRICH_DIM = [("click", 1.5), ("view", 0.25), ("purchase", 10.0)]
+
+
+def q_events_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment drained with Trigger.AvailableNow
+    (streaming/events.run_stream_enrich): on a closed input it equals the
+    batch dim-join exactly, so the batch SQL is its oracle. Fresh sink +
+    checkpoint dirs per call (atexit-cleaned, same pattern as
+    q_streaming_tumbling)."""
+    import os
+
+    from .queries import _tmpdir
+    from .streaming.events import run_stream_enrich
+
+    _ensure_utc(spark)
+    d = _tmpdir("wws_enrich_in_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    out = _tmpdir("wws_enrich_out_")
+    dim = spark.createDataFrame(
+        ENRICH_DIM, "event_type string, type_weight double"
+    )
+    res = run_stream_enrich(
+        spark, d, dim, os.path.join(out, "sink"), os.path.join(out, "ck")
+    )
+    return res.select(
+        "event_id", "event_type", "type_weight", "weighted_value_e6"
+    )
+
+
 def _register_post_window() -> None:
     # entries BEYOND the driver's 50-slot window (registry[:50] is what the
     # grading driver executes — measured round 1). They still get the full
@@ -364,6 +395,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["emb_cosine_topk"] = q_emb_cosine_topk
     TRAINING_QUERIES["extract_page"] = q_extract_page
     TRAINING_QUERIES["extract_wd_page"] = q_extract_wd_page
+    TRAINING_QUERIES["events_enrich"] = q_events_enrich
 
 
 _register_window_tail()
