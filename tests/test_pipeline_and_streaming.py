@@ -37,7 +37,8 @@ def test_pipeline_resume(spark, tmp_path_factory):
     assert sa["pip_salt"] >= 1 and sa["pip_cell_skew"]["max_count"] >= 1
     assert sa["n_shards"] >= 4
     # the tiles stage ships zoom partitioning + tile range clustering
-    assert r1["tiles"]["cluster_by"] == ["tile_x", "tile_y"]
+    # (zoom leads the range keys: zoom-contiguous tasks -> ~1 file per task)
+    assert r1["tiles"]["cluster_by"] == ["zoom", "tile_x", "tile_y"]
 
     # simulate a kill after 'scored': drop everything downstream of it
     cat = Catalog(out)

@@ -201,12 +201,15 @@ def run_pipeline(
     stage("knn", build_knn)
     if built_knn:  # release the one cache knn_nearest returns (skip-safe)
         knn_release(built_knn[0])
-    # zoom dirs for partition pruning + tile_x/tile_y range clustering
-    # inside each dir: a viewport query (tile range at one zoom) prunes to
-    # one partition dir AND skips files whose footer tile range misses the
-    # viewport (catalog cluster_by = the Iceberg SORTED BY analog)
+    # zoom dirs for partition pruning + tile range clustering inside each
+    # dir: a viewport query (tile range at one zoom) prunes to one partition
+    # dir AND skips files whose footer tile range misses the viewport
+    # (catalog cluster_by = the Iceberg SORTED BY analog). zoom LEADS the
+    # range keys so each shuffle task holds a zoom-contiguous slice —
+    # partitionBy(zoom) then emits ~one file per task instead of
+    # tasks x zooms small files.
     stage(
         "tiles", lambda: tile_importance(pts), ["zoom"],
-        cluster_by=["tile_x", "tile_y"],
+        cluster_by=["zoom", "tile_x", "tile_y"],
     )
     return report
