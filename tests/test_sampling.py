@@ -61,6 +61,32 @@ def test_stratified_sample_caps_and_determinism(spark):
     assert by == by2                        # same survivors, any plan
 
 
+def test_pack_documents_invariants(spark):
+    """Sequence packing: per-bucket streams are contiguous (each doc starts
+    where the previous ended, mod budget), offsets < budget, pack ids are
+    bucket-disjoint, zero-token docs dropped, and the assignment is
+    plan-independent (stable under repartitioning)."""
+    from wikipedia_wikidata_spark.operators.packing import pack_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_documents(docs, budget=100, n_buckets=8).collect()
+    assert out and all(0 <= r["pack_offset"] < 100 for r in out)
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+        assert r["pack_id"] >> 32 == r["bucket"]  # bucket-disjoint ids
+        assert r["n_tokens"] > 0
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: (r["pack_id"], r["pack_offset"]))
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == (b << 32) + cum // 100
+            assert r["pack_offset"] == cum % 100
+            cum += r["n_tokens"]
+    out2 = pack_documents(docs.repartition(13), budget=100, n_buckets=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_contamination_plan_is_cartesian_free(spark):
     from wikipedia_wikidata_spark.operators.contamination import (
         contamination_report,

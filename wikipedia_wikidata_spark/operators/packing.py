@@ -1,0 +1,79 @@
+"""Sequence packing for LLM pretraining corpora (concat-then-chunk).
+
+Pretraining pipelines concatenate the shuffled corpus into one token stream
+and cut it into fixed-length training sequences; what the data engine must
+produce is each document's (pack_id, pack_offset) in that stream — a pure
+function of a deterministic document order and a running token total. That
+is exactly a windowed cumulative sum, so the whole operator is one
+shuffle + one window — no sequential driver loop, no UDF.
+
+Scale design:
+- The corpus is split into ``n_buckets`` independent streams by content
+  hash (the same hash60 primitive as the dedup/sampling family), so the
+  cumsum window runs per bucket IN PARALLEL — the global-sort trap of a
+  single corpus-wide window is avoided, and bucket sizes are ~N/n_buckets
+  (raise n_buckets with the corpus; 2^20 buckets at 10^12 docs keeps
+  windows at ~10^6 rows).
+- Order within a bucket is (hash, doc_id) — deterministic under any
+  partitioning, retry, or resume (task-RNG shuffles are not), and the hash
+  makes the stream order an unbiased corpus shuffle.
+- pack_id is globally unique: bucket * 2^32 + (stream offset div budget).
+  A document whose tokens straddle a budget boundary simply spans packs
+  (concat-then-chunk semantics); its pack_id/pack_offset name where it
+  STARTS, which is all downstream chunkers need.
+
+Cross-engine: integer cumsum over an explicit deterministic ORDER — the
+DuckDB oracle (oracle_training.pack_documents) mirrors it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE, hash60_col
+
+PACK_BUDGET = 512  # tokens per training sequence (caller-tunable)
+PACK_BUCKETS = 64
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_tokens, bucket, pack_id, pack_offset): position of each
+    document in the concatenated fixed-length-sequence token stream of its
+    hash bucket. Documents with zero tokens are dropped (they occupy no
+    stream positions)."""
+    h = hash60_col(F.col("doc_id").cast("string"))
+    toks = F.regexp_count("text", F.lit(TOKEN_RE)).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+        h.alias("_h"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_cum_before"),
+    )
+    # `div`, not `/`+floor: double division loses exactness past 2^53 —
+    # stream offsets at 10^12 docs x 10^3 tokens are ~2^50+, too close
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        (
+            F.col("bucket") * F.lit(1 << 32).cast("bigint")
+            + F.expr(f"_cum_before div {int(budget)}")
+        ).alias("pack_id"),
+        F.pmod(F.col("_cum_before"), F.lit(budget)).cast("bigint").alias("pack_offset"),
+    )

@@ -633,6 +633,36 @@ FROM events e JOIN dim d ON e.event_type = d.event_type"""
 
 TRAINING_ORACLES["events_enrich"] = _events_enrich_sql()
 
+
+def _pack_documents_sql() -> str:
+    """Mirror of operators/packing.pack_documents: same hash60 bucket/order,
+    same integer cumsum, same `//` division — bit-equal positions."""
+    from .operators.packing import PACK_BUCKETS, PACK_BUDGET
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+         {h} % {PACK_BUCKETS} AS bucket,
+         {h} AS _h
+  FROM documents
+), nz AS (SELECT * FROM base WHERE n_tokens > 0),
+cum AS (
+  SELECT doc_id, n_tokens, bucket,
+         SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY _h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS _cum_before
+  FROM nz
+)
+SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * {1 << 32} + _cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(_cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM cum"""
+
+
+TRAINING_ORACLES["pack_documents"] = _pack_documents_sql()
+
 TRAINING_ORACLES["top_tokens"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest({words_sql('text')}) AS token FROM documents)

@@ -350,6 +350,16 @@ def q_training_corpus_keep(spark, sf_dir):
     return hash_sample(kept, "doc_id", 0.5).select("doc_id", "quality_e6")
 
 
+def q_pack_documents(spark, sf_dir):
+    """Pretraining sequence packing (operators/packing.py): each document's
+    (pack_id, pack_offset) in the concat-then-chunk token stream of its
+    hash bucket — one shuffle + one per-bucket cumsum window."""
+    from .operators.packing import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(docs)
+
+
 ENRICH_DIM = [("click", 1.5), ("view", 0.25), ("purchase", 10.0)]
 
 
@@ -396,6 +406,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["extract_page"] = q_extract_page
     TRAINING_QUERIES["extract_wd_page"] = q_extract_wd_page
     TRAINING_QUERIES["events_enrich"] = q_events_enrich
+    TRAINING_QUERIES["pack_documents"] = q_pack_documents
 
 
 _register_window_tail()
