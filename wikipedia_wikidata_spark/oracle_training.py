@@ -663,6 +663,62 @@ FROM cum"""
 
 TRAINING_ORACLES["pack_documents"] = _pack_documents_sql()
 
+
+def _spans_sql_base() -> str:
+    from .oracle import SPANS_SF001
+
+    return (
+        "SELECT doc_id, s.kind AS kind, s.text AS text,"
+        ' s.media_ref AS media_ref, s."offset" AS off'
+        f" FROM (SELECT doc_id, unnest(spans) AS s"
+        f" FROM read_parquet('{SPANS_SF001}'))"
+    )
+
+
+def _media_context_sql() -> str:
+    """Mirror of operators/spans.media_context: last prose strictly before
+    each media span, per document, via last_value IGNORE NULLS over the
+    offset order."""
+    return f"""WITH sp AS (
+  SELECT * FROM ({_spans_sql_base()}) WHERE kind IN ('prose', 'media')
+), m AS (
+  SELECT doc_id, kind, media_ref, off,
+         last_value(CASE WHEN kind = 'prose' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx_text,
+         last_value(CASE WHEN kind = 'prose' THEN off END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx_offset
+  FROM sp
+)
+SELECT doc_id, media_ref, CAST(off AS BIGINT) AS "offset",
+       CAST(ctx_offset AS BIGINT) AS ctx_offset, ctx_text
+FROM m WHERE kind = 'media'"""
+
+
+def _spans_dedup_sql() -> str:
+    """Mirror of operators/spans.dedup_spans: first-offset-wins row_number,
+    kept-sequence md5 via string_agg ORDER BY off (string_agg drops the
+    NULL CASE rows, exactly like Spark's collect_list)."""
+    return f"""WITH rn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, kind, text, media_ref ORDER BY off
+  ) AS _rn
+  FROM ({_spans_sql_base()})
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN _rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(
+         CASE WHEN _rn = 1
+              THEN kind || chr(31) || text || chr(31) || media_ref END,
+         chr(30) ORDER BY off)) AS kept_md5
+FROM rn GROUP BY doc_id"""
+
+
+TRAINING_ORACLES["media_context"] = _media_context_sql()
+TRAINING_ORACLES["spans_dedup"] = _spans_dedup_sql()
+
 TRAINING_ORACLES["top_tokens"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest({words_sql('text')}) AS token FROM documents)

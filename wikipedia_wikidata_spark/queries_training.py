@@ -350,6 +350,24 @@ def q_training_corpus_keep(spark, sf_dir):
     return hash_sample(kept, "doc_id", 0.5).select("doc_id", "quality_e6")
 
 
+def q_media_context(spark, sf_dir):
+    """Media->text alignment over the interleaved spans: each media span
+    paired with the nearest preceding prose span (operators/spans.py)."""
+    from .operators.extract import load_documents
+    from .operators.spans import media_context
+
+    return media_context(load_documents(spark, sf_dir))
+
+
+def q_spans_dedup(spark, sf_dir):
+    """Within-document exact span dedup (first offset wins) with an
+    order-preserving digest of the kept sequence (operators/spans.py)."""
+    from .operators.extract import load_documents
+    from .operators.spans import dedup_spans
+
+    return dedup_spans(load_documents(spark, sf_dir))
+
+
 def q_pack_documents(spark, sf_dir):
     """Pretraining sequence packing (operators/packing.py): each document's
     (pack_id, pack_offset) in the concat-then-chunk token stream of its
@@ -407,6 +425,8 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["extract_wd_page"] = q_extract_wd_page
     TRAINING_QUERIES["events_enrich"] = q_events_enrich
     TRAINING_QUERIES["pack_documents"] = q_pack_documents
+    TRAINING_QUERIES["media_context"] = q_media_context
+    TRAINING_QUERIES["spans_dedup"] = q_spans_dedup
 
 
 _register_window_tail()
