@@ -401,6 +401,38 @@ def test_catalog_clustered_write_prunes_row_groups(spark, tmp_path_factory):
     assert cat.read(spark, "clustered").count() == 40000
 
 
+def test_catalog_expire_snapshots(spark, tmp_path_factory):
+    """Retention: all but the newest `keep` versions are deleted, the
+    current version survives any keep value, expired time travel fails
+    cleanly, and the snapshot listing never poisons."""
+    import pytest
+
+    from wikipedia_wikidata_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path_factory.mktemp("expirecat")))
+    for i in range(5):
+        cat.write(spark, spark.range(0, 10 + i), "t", f"fp{i}", f"r{i}")
+    assert [m["version"] for m in cat.snapshots("t")] == [1, 2, 3, 4, 5]
+
+    expired = cat.expire_snapshots("t", keep=2)
+    assert expired == [1, 2, 3]
+    assert [m["version"] for m in cat.snapshots("t")] == [4, 5]
+    assert cat.current_version("t") == 5
+    assert cat.read(spark, "t").count() == 14          # current intact
+    assert cat.read(spark, "t", version=4).count() == 13  # kept sibling
+    with pytest.raises(Exception):
+        cat.read(spark, "t", version=2).count()        # expired -> gone
+
+    # keep floored at 1 and the current version is never expired
+    expired2 = cat.expire_snapshots("t", keep=0)
+    assert expired2 == [4]
+    assert [m["version"] for m in cat.snapshots("t")] == [5]
+    assert cat.read(spark, "t").count() == 14
+    # next write continues the version sequence past the expired range
+    m = cat.write(spark, spark.range(0, 3), "t", "fp9", "r9")
+    assert m["version"] == 6 and cat.read(spark, "t").count() == 3
+
+
 def test_catalog_compact_small_files(spark, tmp_path_factory):
     import os
 

@@ -477,6 +477,40 @@ class Catalog:
             cluster_partitions=target_files if cluster_by else None,
         )
 
+    def expire_snapshots(self, name: str, keep: int = 2) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: delete all but the newest
+        ``keep`` committed versions and return the expired version numbers.
+        Time travel to an expired version stops working (that is the point —
+        reclaiming the storage old versions pin); the CURRENT version is
+        always kept (keep is floored at 1). Deletion order is oldest-first
+        and each version dir is removed atomically-enough for readers: the
+        manifest listing tolerates a half-deleted dir (snapshots() skips
+        dirs whose _manifest.json is gone), so a reader racing an expiry
+        sees either the version or nothing — never a poisoned listing.
+
+        At 10^12-row scale this is the retention lever that keeps a
+        frequently-merged table's storage proportional to keep x table size
+        instead of versions x table size."""
+        keep = max(1, keep)
+        snaps = self.snapshots(name)
+        cur = self.current_version(name)
+        # never expire the current pointer target, whatever 'keep' says
+        candidates = [m["version"] for m in snaps if m["version"] != cur]
+        n_expire = max(0, len(snaps) - keep)
+        expired = []
+        root = self.path(name)
+        for v in candidates[:n_expire]:
+            vdir = os.path.join(root, f"v{v:05d}")
+            # drop the manifest FIRST so a concurrent snapshots() listing
+            # stops returning the version before its data disappears
+            try:
+                os.remove(os.path.join(vdir, "_manifest.json"))
+            except OSError:
+                pass
+            shutil.rmtree(vdir, ignore_errors=True)
+            expired.append(v)
+        return expired
+
     def drop(self, name: str) -> None:
         if os.path.exists(self.path(name)):
             shutil.rmtree(self.path(name))
