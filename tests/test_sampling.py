@@ -74,13 +74,13 @@ def test_pack_documents_invariants(spark):
     by_bucket = {}
     for r in out:
         by_bucket.setdefault(r["bucket"], []).append(r)
-        assert r["pack_id"] >> 32 == r["bucket"]  # bucket-disjoint ids
+        assert r["pack_id"] >> 40 == r["bucket"]  # bucket-disjoint ids
         assert r["n_tokens"] > 0
     for b, rows in by_bucket.items():
         rows.sort(key=lambda r: (r["pack_id"], r["pack_offset"]))
         cum = 0
         for r in rows:
-            assert r["pack_id"] == (b << 32) + cum // 100
+            assert r["pack_id"] == (b << 40) + cum // 100
             assert r["pack_offset"] == cum % 100
             cum += r["n_tokens"]
     out2 = pack_documents(docs.repartition(13), budget=100, n_buckets=8).collect()

@@ -17,10 +17,15 @@ Scale design:
 - Order within a bucket is (hash, doc_id) — deterministic under any
   partitioning, retry, or resume (task-RNG shuffles are not), and the hash
   makes the stream order an unbiased corpus shuffle.
-- pack_id is globally unique: bucket * 2^32 + (stream offset div budget).
-  A document whose tokens straddle a budget boundary simply spans packs
-  (concat-then-chunk semantics); its pack_id/pack_offset name where it
-  STARTS, which is all downstream chunkers need.
+- pack_id is globally unique: bucket * 2^40 + (stream offset div budget).
+  2^40 packs/bucket x 512 tokens ≈ 5.6e14 tokens per bucket stream before
+  overlap — with buckets scaled to the corpus (2^20 at 10^12 docs) every
+  stream stays orders of magnitude below that, and bucket < 2^23 keeps the
+  id inside int64. (2^32 would overlap at ~4.3e9 packs/bucket — reachable
+  by a 10^15-token corpus on the default 64 buckets.) A document whose
+  tokens straddle a budget boundary simply spans packs (concat-then-chunk
+  semantics); its pack_id/pack_offset name where it STARTS, which is all
+  downstream chunkers need.
 
 Cross-engine: integer cumsum over an explicit deterministic ORDER — the
 DuckDB oracle (oracle_training.pack_documents) mirrors it bit-for-bit.
@@ -72,7 +77,7 @@ def pack_documents(
         "n_tokens",
         "bucket",
         (
-            F.col("bucket") * F.lit(1 << 32).cast("bigint")
+            F.col("bucket") * F.lit(1 << 40).cast("bigint")
             + F.expr(f"_cum_before div {int(budget)}")
         ).alias("pack_id"),
         F.pmod(F.col("_cum_before"), F.lit(budget)).cast("bigint").alias("pack_offset"),

@@ -76,6 +76,9 @@ def dedup_spans(docs: DataFrame) -> DataFrame:
         "offset"
     )
     kept = sp.withColumn("_rn", F.row_number().over(w))
+    # span fields are non-null by the input_hint schema (text spans carry
+    # media_ref='' and vice versa); concat_ws would silently SKIP a NULL
+    # field while the oracle's || yields NULL — keep the contract explicit
     ser = F.concat_ws(
         "\x1f", F.col("kind"), F.col("text"), F.col("media_ref")
     )

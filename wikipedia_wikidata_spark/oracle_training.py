@@ -656,7 +656,7 @@ cum AS (
   FROM nz
 )
 SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-       CAST(bucket * {1 << 32} + _cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(bucket * {1 << 40} + _cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
        CAST(_cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
 FROM cum"""
 
