@@ -51,6 +51,15 @@ def pack_documents(
     document in the concatenated fixed-length-sequence token stream of its
     hash bucket. Documents with zero tokens are dropped (they occupy no
     stream positions)."""
+    if n_buckets > (1 << 23):
+        # pack_id = bucket * 2^40 + pack index must stay inside int64:
+        # bucket < 2^23 and < 2^40 packs per bucket stream (the latter is a
+        # documented assumption — 2^40 packs x 512 tokens ≈ 5.6e14 tokens
+        # per stream, orders of magnitude above any per-bucket share when
+        # n_buckets scales with the corpus)
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds 2^23; pack_id would overflow int64"
+        )
     h = hash60_col(F.col("doc_id").cast("string"))
     toks = F.regexp_count("text", F.lit(TOKEN_RE)).cast("bigint")
     base = docs.select(

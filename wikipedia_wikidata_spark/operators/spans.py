@@ -43,9 +43,15 @@ def media_context(docs: DataFrame) -> DataFrame:
     span: the nearest prose span at a smaller offset in the same document
     (NULL ctx when the media leads the document)."""
     sp = _exploded(docs).filter(F.col("kind").isin("prose", "media"))
+    # tie-break beyond offset (round-4 ADVICE): if a prose and a media span
+    # ever share an offset, the ROWS ... 1 PRECEDING frame's row order decides
+    # whether the prose counts as preceding — (kind, text, media_ref) pins it
+    # identically on both engines ('media' < 'prose', so a same-offset prose
+    # does NOT precede the media). Current corpora have unique per-doc
+    # offsets; this removes the latent nondeterminism, not a live bug.
     w = (
         Window.partitionBy("doc_id")
-        .orderBy("offset")
+        .orderBy("offset", "kind", "text", "media_ref")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prose_text = F.when(F.col("kind") == "prose", F.col("text"))

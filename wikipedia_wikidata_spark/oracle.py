@@ -465,7 +465,10 @@ def _importance_39lang_oracle() -> str:
     """The identical importance program parameterized at the reference's
     full 39-language production configuration (config/languages.txt:1-40)
     over the dedicated 39-language corpus dir. get_oracle_sql() ensures the
-    corpus exists before the driver runs this."""
+    corpus exists before the driver runs this. NOTE: like the Spark side
+    (queries.q_importance_39lang), this row is pinned to that dedicated
+    corpus and is insensitive to the driver's sf_dir choice by design —
+    the L=39 configuration is the thing under test, not the corpus size."""
     from .config import LANGUAGES_FULL
     from .sources.synth import spans_dir_path
 

@@ -684,10 +684,10 @@ def _media_context_sql() -> str:
 ), m AS (
   SELECT doc_id, kind, media_ref, off,
          last_value(CASE WHEN kind = 'prose' THEN text END IGNORE NULLS)
-           OVER (PARTITION BY doc_id ORDER BY off
+           OVER (PARTITION BY doc_id ORDER BY off, kind, text, media_ref
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx_text,
          last_value(CASE WHEN kind = 'prose' THEN off END IGNORE NULLS)
-           OVER (PARTITION BY doc_id ORDER BY off
+           OVER (PARTITION BY doc_id ORDER BY off, kind, text, media_ref
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx_offset
   FROM sp
 )
@@ -698,8 +698,13 @@ FROM m WHERE kind = 'media'"""
 
 def _spans_dedup_sql() -> str:
     """Mirror of operators/spans.dedup_spans: first-offset-wins row_number,
-    kept-sequence md5 via string_agg ORDER BY off (string_agg drops the
-    NULL CASE rows, exactly like Spark's collect_list)."""
+    kept-sequence md5 via string_agg ORDER BY off plus the serialized span
+    as a tie-break (string_agg drops the NULL CASE rows, exactly like
+    Spark's collect_list). The tie-break matches Spark's
+    array_sort(struct(offset, ser)) order exactly (round-4 ADVICE: with
+    ORDER BY off alone, two distinct spans at one offset would digest in an
+    engine-dependent order)."""
+    ser = "kind || chr(31) || text || chr(31) || media_ref"
     return f"""WITH rn AS (
   SELECT *, row_number() OVER (
     PARTITION BY doc_id, kind, text, media_ref ORDER BY off
@@ -710,9 +715,8 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_spans,
        CAST(SUM(CASE WHEN _rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        md5(string_agg(
-         CASE WHEN _rn = 1
-              THEN kind || chr(31) || text || chr(31) || media_ref END,
-         chr(30) ORDER BY off)) AS kept_md5
+         CASE WHEN _rn = 1 THEN {ser} END,
+         chr(30) ORDER BY off, {ser})) AS kept_md5
 FROM rn GROUP BY doc_id"""
 
 

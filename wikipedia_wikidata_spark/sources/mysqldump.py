@@ -19,6 +19,7 @@ source, then never re-parse (the reference re-parses monthly).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -115,7 +116,14 @@ def parse_insert_line(line: str, table: str | None = None) -> list[list[str | No
         return []
     if table is not None:
         head = up[:idx]
-        if f"`{table}`" not in head and f" {table} " not in head:
+        # unquoted names match on identifier boundaries (round-4 verdict:
+        # a bare substring/space match would accept `pagelinks` for table
+        # 'page' if mysqldump ever emitted unquoted names without the
+        # canonical single-space layout)
+        unquoted = re.search(
+            rf"(?<![0-9A-Za-z_$`]){re.escape(table)}(?![0-9A-Za-z_$`])", head
+        )
+        if f"`{table}`" not in head and not unquoted:
             return []
     return parse_values(up[idx + len("VALUES"):])
 
