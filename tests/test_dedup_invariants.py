@@ -118,3 +118,61 @@ def test_emb_near_dup_recovers_planted_pairs(spark):
     near_found = sum((i, i + 2000000) in got for i in range(0, n, 7))
     assert near_found >= 0.7 * len(range(0, n, 7))
     assert all(v >= 900000 for v in got.values())
+
+
+def test_boilerplate_spans_dropped_by_document_frequency(spark):
+    """drop_boilerplate_spans drops planted chrome (a span repeated across
+    many documents) but KEEPS a span repeated many times inside one single
+    document — document frequency, not raw occurrence count, is the signal —
+    and the kept digest proves the survivors' offset order is preserved."""
+    import hashlib
+
+    from wikipedia_wikidata_spark.operators.spans import drop_boilerplate_spans
+
+    chrome = ("prose", "(c) Example Site - all rights reserved", "")
+    rows = []
+    per_doc_kept = {}
+    for d in range(12):
+        doc = f"doc{d:02d}"
+        spans = [("prose", f"unique body {d} alpha", "", 0),
+                 chrome + (10,),
+                 ("media", "", f"img://{d}", 20),
+                 ("prose", f"unique body {d} beta", "", 30)]
+        if d == 0:
+            # intra-doc repetition: same span 5x within ONE document (df=1)
+            spans += [("prose", "refrain line", "", 40 + 10 * i)
+                      for i in range(5)]
+        rows.append((doc, [tuple(s) for s in spans]))
+        per_doc_kept[doc] = [s for s in spans if s[:3] != chrome]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    got = {r.doc_id: r for r in drop_boilerplate_spans(docs).collect()}
+    assert len(got) == 12
+    for doc, kept in per_doc_kept.items():
+        r = got[doc]
+        assert r.n_spans == len(kept) + 1
+        assert r.n_kept == len(kept), f"{doc}: chrome not dropped (or over-dropped)"
+        ser = [f"{k}\x1f{t}\x1f{m}" for (k, t, m, off) in
+               sorted(kept, key=lambda s: (s[3], f"{s[0]}\x1f{s[1]}\x1f{s[2]}"))]
+        want = hashlib.md5("\x1e".join(ser).encode()).hexdigest()
+        assert r.kept_md5 == want, f"{doc}: kept order not preserved"
+    # the intra-doc refrain (df=1) survived in doc00
+    assert got["doc00"].n_kept == 3 + 5
+
+
+def test_boilerplate_all_dropped_digests_null(spark):
+    """A document consisting ONLY of chrome spans keeps zero spans and its
+    kept_md5 is NULL (matching DuckDB's string_agg-over-zero-rows)."""
+    from wikipedia_wikidata_spark.operators.spans import drop_boilerplate_spans
+
+    rows = [(f"d{i}", [("prose", "footer", "", 0)]) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    out = drop_boilerplate_spans(docs).collect()
+    assert all(r.n_kept == 0 and r.kept_md5 is None for r in out)

@@ -720,8 +720,38 @@ SELECT doc_id,
 FROM rn GROUP BY doc_id"""
 
 
+def _spans_boilerplate_sql() -> str:
+    """Mirror of operators/spans.drop_boilerplate_spans: document frequency
+    on the SAME 60-bit content hash Spark groups on (hash60_sql is the
+    bit-exact twin of text.hash60_col), drop content with df > max_df, then
+    the dedup_spans digest construction over the survivors (string_agg drops
+    the NULL CASE rows like collect_list; ORDER BY off, ser matches Spark's
+    array_sort(struct(offset, ser)); zero kept rows -> NULL on both)."""
+    from .operators.spans import BOILERPLATE_MAX_DF
+
+    ser = "kind || chr(31) || text || chr(31) || media_ref"
+    return f"""WITH sp AS (
+  SELECT doc_id, off, {ser} AS ser, {hash60_sql(ser)} AS _h
+  FROM ({_spans_sql_base()})
+), hot AS (
+  SELECT _h FROM (SELECT DISTINCT _h, doc_id FROM sp)
+  GROUP BY _h HAVING count(*) > {BOILERPLATE_MAX_DF}
+), flagged AS (
+  SELECT sp.*, hot._h IS NOT NULL AS _drop
+  FROM sp LEFT JOIN hot ON sp._h = hot._h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN NOT _drop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(
+         CASE WHEN NOT _drop THEN ser END,
+         chr(30) ORDER BY off, ser)) AS kept_md5
+FROM flagged GROUP BY doc_id"""
+
+
 TRAINING_ORACLES["media_context"] = _media_context_sql()
 TRAINING_ORACLES["spans_dedup"] = _spans_dedup_sql()
+TRAINING_ORACLES["spans_boilerplate"] = _spans_boilerplate_sql()
 
 TRAINING_ORACLES["top_tokens"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -368,6 +368,17 @@ def q_spans_dedup(spark, sf_dir):
     return dedup_spans(load_documents(spark, sf_dir))
 
 
+def q_spans_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate removal (round-4 verdict item 4): drop
+    spans whose exact content occurs in > BOILERPLATE_MAX_DF distinct
+    documents (site chrome / licence footers), preserving each document's
+    surviving span order (operators/spans.py)."""
+    from .operators.extract import load_documents
+    from .operators.spans import drop_boilerplate_spans
+
+    return drop_boilerplate_spans(load_documents(spark, sf_dir))
+
+
 def q_pack_documents(spark, sf_dir):
     """Pretraining sequence packing (operators/packing.py): each document's
     (pack_id, pack_offset) in the concat-then-chunk token stream of its
@@ -427,6 +438,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["pack_documents"] = q_pack_documents
     TRAINING_QUERIES["media_context"] = q_media_context
     TRAINING_QUERIES["spans_dedup"] = q_spans_dedup
+    TRAINING_QUERIES["spans_boilerplate"] = q_spans_boilerplate
 
 
 _register_window_tail()
