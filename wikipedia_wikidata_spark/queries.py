@@ -472,15 +472,19 @@ def q_multimodal_features(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # extract_linktarget / extract_redirect rotated OUT in round 3, and
-    # extract_page / extract_wd_page in round 4 (round-3 verdict item 7):
-    # the 50-slot registry was full and their semantics transit later green
-    # rows (pagelink_counts consumes the linktarget AND page views,
-    # redirect_full the redirect view, geo_earth_wikidata/wikidata_pages the
-    # wd_page view) — freeing slots for the training-pipeline queries
-    # dedup_clusters / pagerank_links / contamination. All rotated-out
-    # queries stay registered post-window, where the pytest parity harness
-    # still hash-checks them against their DuckDB oracles.
+    # extract_linktarget / extract_redirect rotated OUT in round 3,
+    # extract_page / extract_wd_page in round 4 (round-3 verdict item 7),
+    # and geo_earth_wikidata / article_full / redirect_full in round 5
+    # (round-4 verdict item 3): the 50-slot registry was full and their
+    # semantics transit later green rows (pagelink_counts consumes the
+    # linktarget AND page views, wikidata_places consumes
+    # geo_earth_wikidata, scored_articles consumes article_full, the
+    # importance_pipeline's redirect pruning consumes the redirect x page
+    # join) — freeing slots for the training-pipeline queries
+    # dedup_clusters / pagerank_links / contamination (r4) and
+    # training_corpus_keep / pack_documents / media_context (r5). All
+    # rotated-out queries stay registered post-window, where the pytest
+    # parity harness still hash-checks them against their DuckDB oracles.
     "extract_pagelink": q_extract_pagelink,
     "extract_langlinks": q_extract_langlinks,
     "extract_geo_tags": q_extract_geo_tags,
@@ -488,11 +492,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_places": q_extract_places,
     "pagelink_counts": q_pagelink_counts,
     "othercounts": q_othercounts,
-    "article_full": q_article_full,
-    "geo_earth_wikidata": q_geo_earth_wikidata,
     "wikidata_places": q_wikidata_places,
     "wikidata_pages": q_wikidata_pages,
-    "redirect_full": q_redirect_full,
     "scored_articles": q_scored_articles,
     "uniqueness_audit": q_uniqueness_audit,
     "top_languages": q_top_languages,

@@ -251,17 +251,23 @@ TRAINING_QUERIES = {
 
 
 def _register_window_tail() -> None:
-    # Round-4 rotation (round-3 verdict item 7): the last three in-window
-    # slots carry the training-pipeline queries that were previously
-    # post-window (dedup CLUSTERING — the production keep/drop step — the
-    # iterative PageRank class, and the train/eval contamination check).
-    # They displaced extract_page / extract_wd_page / emb_cosine_topk, which
-    # move post-window (still pytest-parity-checked).
+    # Round-4 rotation (round-3 verdict item 7): dedup CLUSTERING — the
+    # production keep/drop step — the iterative PageRank class, and the
+    # train/eval contamination check displaced extract_page /
+    # extract_wd_page / emb_cosine_topk. Round-5 rotation (round-4 verdict
+    # item 3): the curation composition, sequence packing, and media->text
+    # alignment queries displaced geo_earth_wikidata / article_full /
+    # redirect_full, whose semantics transit later green rows. All
+    # displaced queries stay registered post-window
+    # (pytest-parity-checked).
     from .queries import q_pagerank_links
 
     TRAINING_QUERIES["dedup_clusters"] = q_dedup_clusters
     TRAINING_QUERIES["pagerank_links"] = q_pagerank_links
     TRAINING_QUERIES["contamination"] = q_contamination
+    TRAINING_QUERIES["training_corpus_keep"] = q_training_corpus_keep
+    TRAINING_QUERIES["pack_documents"] = q_pack_documents
+    TRAINING_QUERIES["media_context"] = q_media_context
 
 
 def q_sample_documents(spark, sf_dir):
@@ -424,21 +430,27 @@ def _register_post_window() -> None:
     # entries BEYOND the driver's 50-slot window (registry[:50] is what the
     # grading driver executes — measured round 1). They still get the full
     # driver-style rows+schema+hash parity check from the pytest harness.
-    from .queries import q_extract_page, q_extract_wd_page
+    from .queries import (
+        q_article_full,
+        q_extract_page,
+        q_extract_wd_page,
+        q_geo_earth_wikidata,
+        q_redirect_full,
+    )
 
     TRAINING_QUERIES["sample_documents"] = q_sample_documents
     TRAINING_QUERIES["sample_stratified"] = q_sample_stratified
     TRAINING_QUERIES["emb_dedup_clusters"] = q_emb_dedup_clusters
     TRAINING_QUERIES["top_tokens"] = q_top_tokens
-    TRAINING_QUERIES["training_corpus_keep"] = q_training_corpus_keep
     TRAINING_QUERIES["emb_cosine_topk"] = q_emb_cosine_topk
     TRAINING_QUERIES["extract_page"] = q_extract_page
     TRAINING_QUERIES["extract_wd_page"] = q_extract_wd_page
     TRAINING_QUERIES["events_enrich"] = q_events_enrich
-    TRAINING_QUERIES["pack_documents"] = q_pack_documents
-    TRAINING_QUERIES["media_context"] = q_media_context
     TRAINING_QUERIES["spans_dedup"] = q_spans_dedup
     TRAINING_QUERIES["spans_boilerplate"] = q_spans_boilerplate
+    TRAINING_QUERIES["geo_earth_wikidata"] = q_geo_earth_wikidata
+    TRAINING_QUERIES["article_full"] = q_article_full
+    TRAINING_QUERIES["redirect_full"] = q_redirect_full
 
 
 _register_window_tail()
