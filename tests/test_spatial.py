@@ -192,3 +192,54 @@ def test_span_sequence_invariant(spark):
     diff = a.join(re, "doc_id").filter(F.col("orig") != F.col("spans"))
     assert diff.count() == 0
     assert re.count() == docs.count()
+
+
+def test_knn_ladder_derived_from_place_density(spark):
+    """suggest_knn_ladder (round-4 verdict item 5): a sparse-places corpus
+    selects a COARSER entry level than a dense one, and knn_nearest run on
+    the derived ladder matches numpy brute force exactly (the ladder tunes
+    cost, never semantics)."""
+    from wikipedia_wikidata_spark.operators.spatial import suggest_knn_ladder
+
+    rng = np.random.default_rng(7)
+    # dense corpus: 400 places packed into a ~0.2-degree urban blob
+    dense = pd.DataFrame({
+        "item": [f"Q{i}" for i in range(400)],
+        "lat": 48.85 + rng.uniform(-0.1, 0.1, 400),
+        "lon": 2.35 + rng.uniform(-0.1, 0.1, 400),
+    })
+    # sparse corpus: 40 places spread over the whole globe
+    sparse = pd.DataFrame({
+        "item": [f"Q{i}" for i in range(40)],
+        "lat": rng.uniform(-85, 85, 40),
+        "lon": rng.uniform(-179, 179, 40),
+    })
+    d_ladder, d_stats = suggest_knn_ladder(spark.createDataFrame(dense))
+    s_ladder, s_stats = suggest_knn_ladder(spark.createDataFrame(sparse))
+    assert d_ladder[-1] == 0 and s_ladder[-1] == 0
+    assert s_ladder[0] < d_ladder[0], (s_ladder, d_ladder)
+    assert d_stats["levels"][d_ladder[0]]["max_per_cell"] <= d_stats["entry_target"]
+    # correctness is ladder-invariant: derived ladder == brute force
+    pts = pd.DataFrame({
+        "language": "en",
+        "title": [f"p{i}" for i in range(300)],
+        "lat": np.concatenate([48.85 + rng.uniform(-0.3, 0.3, 150),
+                               rng.uniform(-85, 85, 150)]),
+        "lon": np.concatenate([2.35 + rng.uniform(-0.3, 0.3, 150),
+                               rng.uniform(-179, 179, 150)]),
+    })
+    ep = spark.createDataFrame(pts)
+    for places_pd, ladder in ((dense, d_ladder), (sparse, s_ladder)):
+        places = spark.createDataFrame(places_pd)
+        knn = knn_nearest(ep, places, levels=ladder)
+        got = {(r.language, r.title): (r.nearest_item, r.dist2)
+               for r in knn.collect()}
+        knn_release(knn)
+        assert len(got) == len(pts)
+        for _, p in pts.iterrows():
+            d2, item = min(
+                ((p.lat - g.lat) ** 2 + (p.lon - g.lon) ** 2, g.item)
+                for g in places_pd.itertuples()
+            )
+            gi, gd = got[(p.language, p.title)]
+            assert gi == item and abs(gd - d2) < 1e-9

@@ -241,6 +241,95 @@ def suggest_pip_salt(
     return stats["suggested_salt"], stats
 
 
+# kNN ladder derivation targets (round-4 verdict item 5): the entry level
+# bounds the DENSE-region candidate fan-out (a point in the hottest cell
+# sees at most 9 * max_places_per_cell candidates), the mid level bounds the
+# same for the wide-guard cascade stage. 16 reproduces the shipped [13,...]
+# entry on the sf0.1 corpus (max 9 places/cell at level 13, 24 at level 12);
+# 1024 keeps the mid stage's hottest 3x3 neighborhood under ~10^4 pairs per
+# point while pushing the guard radius wide enough that level 0 sees only
+# far-from-everything stragglers.
+KNN_LADDER_CANDIDATES: tuple[int, ...] = tuple(range(13, 3, -1))
+KNN_ENTRY_MAX_TARGET = 16
+KNN_MID_MAX_TARGET = 1024
+
+
+def suggest_knn_ladder(
+    places: DataFrame,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    candidates: tuple[int, ...] = KNN_LADDER_CANDIDATES,
+    entry_target: int = KNN_ENTRY_MAX_TARGET,
+    mid_target: int = KNN_MID_MAX_TARGET,
+) -> tuple[list[int], dict]:
+    """Measure-then-ladder (round-4 verdict item 5, the suggest_pip_salt
+    pattern): derive knn_nearest's level ladder from the MEASURED
+    places-per-cell histogram instead of the hardcoded default.
+
+    One map-side-combined groupBy builds the histogram at the finest
+    candidate level; coarser levels coarsen that histogram itself (cell x/y
+    at level b-1 is exactly x>>1/y>>1 of level b for this grid), so the
+    whole sweep shuffles at most n_places rows once and then ever-shrinking
+    histograms. Entry level = the COARSEST candidate whose hottest cell
+    holds <= entry_target places (dense corpora push it finer, sparse
+    corpora coarser); mid level = the coarsest level below entry with
+    max <= mid_target (dropped when entry is already that coarse). The
+    ladder is a pure function of the places snapshot, so a checkpoint
+    resume under the same fingerprint re-derives the identical plan.
+    Any ladder yields the SAME results (each level's guard proves its
+    accepted minima are true nearest) — this tunes cost, not semantics.
+    """
+    finest = max(candidates)
+    px, py = xy_cols(F.col(point_cols[0]), F.col(point_cols[1]), finest)
+    hist = (
+        places.select(px.alias("_x"), py.alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
+    )
+    stats: dict[int, dict] = {}
+    cached = [hist]
+    cur, cur_level = hist, finest
+    try:
+        for b in sorted(candidates, reverse=True):
+            if b < cur_level:
+                shift = cur_level - b
+                cur = (
+                    cur.groupBy(
+                        F.shiftright("_x", shift).alias("_x"),
+                        F.shiftright("_y", shift).alias("_y"),
+                    )
+                    .agg(F.sum("_n").alias("_n"))
+                    .persist()
+                )
+                cached.append(cur)
+                cur_level = b
+            row = cur.agg(
+                F.max("_n").alias("mx"), F.count(F.lit(1)).alias("nc")
+            ).collect()[0]
+            stats[b] = {"max_per_cell": int(row["mx"] or 0),
+                        "n_cells": int(row["nc"])}
+    finally:
+        for c in cached:
+            c.unpersist()
+    entry = next(
+        (b for b in sorted(candidates)
+         if stats[b]["max_per_cell"] <= entry_target),
+        finest,
+    )
+    mid = next(
+        (b for b in sorted(candidates)
+         if b < entry and stats[b]["max_per_cell"] <= mid_target),
+        None,
+    )
+    ladder = [entry, mid, 0] if mid else [entry, 0]
+    return ladder, {
+        "ladder": ladder,
+        "entry_target": entry_target,
+        "mid_target": mid_target,
+        "levels": stats,
+    }
+
+
 def salt_hot_cells(df: DataFrame, cell_col: str, threshold: int, n_salt: int,
                    id_col: str) -> DataFrame:
     """Explicit skew handling: rows in cells above ``threshold`` get a salt

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..config import LANGUAGES, spans_dir_for
 from ..operators import extract as ex
 from ..operators.spatial import (
-    knn_nearest, knn_release, pip_join, suggest_pip_salt,
+    knn_nearest, knn_release, pip_join, suggest_knn_ladder, suggest_pip_salt,
 )
 from ..operators.tiles import tile_importance
 from ..sources.catalog import Catalog
@@ -37,7 +37,7 @@ VIEW_NAMES = [
     "wd_page", "geo_tags", "sitelinks", "places", "polygons",
 ]
 
-PIPELINE_VERSION = 6  # v6: tiles stage cluster_by (tile_x, tile_y) layout
+PIPELINE_VERSION = 7  # v7: knn ladder derived from measured place density
 
 # Shard sizing for the shard-granular resumable spatial stage: resume
 # granularity vs K× replay of the (small) polygon build side. Derived from
@@ -80,7 +80,8 @@ def run_pipeline(
     )
     report: dict[str, dict] = {}
 
-    def stage(name: str, build, partition_by=None, cluster_by=None):
+    def stage(name: str, build, partition_by=None, cluster_by=None,
+              extra=None):
         if cat.is_complete(name, fp):
             m = cat.manifest(name)
             m["skipped"] = True
@@ -88,6 +89,7 @@ def run_pipeline(
             return
         m = cat.write(
             spark, build(), name, fp, run_id, partition_by,
+            extra=extra() if callable(extra) else extra,
             cluster_by=cluster_by,
         )
         m["skipped"] = False
@@ -193,12 +195,21 @@ def run_pipeline(
         F.col("lat").isNotNull()
     ).select("item", "lat", "lon")
     built_knn: list[DataFrame] = []
+    knn_extra: dict = {}
 
     def build_knn() -> DataFrame:
-        built_knn.append(knn_nearest(pts, geo_places))
+        # ladder derived from the MEASURED places-per-cell histogram
+        # (suggest_knn_ladder, round-4 verdict item 5) — like the PIP salt,
+        # a pure function of the committed places snapshot, so a resume
+        # under the same fingerprint re-derives the identical plan; the
+        # manifest records what was derived. Any ladder returns identical
+        # results (per-level guards prove exactness); this tunes cost.
+        ladder, kstats = suggest_knn_ladder(geo_places)
+        knn_extra["knn_ladder"] = kstats
+        built_knn.append(knn_nearest(pts, geo_places, levels=ladder))
         return built_knn[0]
 
-    stage("knn", build_knn)
+    stage("knn", build_knn, extra=lambda: knn_extra)
     if built_knn:  # release the one cache knn_nearest returns (skip-safe)
         knn_release(built_knn[0])
     # zoom dirs for partition pruning + tile range clustering inside each
