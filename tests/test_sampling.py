@@ -61,15 +61,26 @@ def test_stratified_sample_caps_and_determinism(spark):
     assert by == by2                        # same survivors, any plan
 
 
-def test_pack_documents_invariants(spark):
+import pytest
+
+
+@pytest.mark.parametrize("token_source", ["regex", "wordpiece"])
+def test_pack_documents_invariants(spark, token_source):
     """Sequence packing: per-bucket streams are contiguous (each doc starts
     where the previous ended, mod budget), offsets < budget, pack ids are
     bucket-disjoint, zero-token docs dropped, and the assignment is
-    plan-independent (stable under repartitioning)."""
+    plan-independent (stable under repartitioning). Parameterized over both
+    token sources (regex proxy and the greedy-wordpiece token_col plug,
+    round-4 verdict item 6) — the packing math must hold for any counter."""
     from wikipedia_wikidata_spark.operators.packing import pack_documents
+    from wikipedia_wikidata_spark.operators.text import wordpiece_token_counts
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    out = pack_documents(docs, budget=100, n_buckets=8).collect()
+    kw = {}
+    if token_source == "wordpiece":
+        docs = wordpiece_token_counts(docs)
+        kw["token_col"] = "wp_tokens"
+    out = pack_documents(docs, budget=100, n_buckets=8, **kw).collect()
     assert out and all(0 <= r["pack_offset"] < 100 for r in out)
     by_bucket = {}
     for r in out:
@@ -83,7 +94,9 @@ def test_pack_documents_invariants(spark):
             assert r["pack_id"] == (b << 40) + cum // 100
             assert r["pack_offset"] == cum % 100
             cum += r["n_tokens"]
-    out2 = pack_documents(docs.repartition(13), budget=100, n_buckets=8).collect()
+    out2 = pack_documents(
+        docs.repartition(13), budget=100, n_buckets=8, **kw
+    ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
@@ -99,3 +112,26 @@ def test_contamination_plan_is_cartesian_free(spark):
     )
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p  # JVM-only
+
+
+def test_wordpiece_count_hand_cases(spark):
+    """Greedy longest-match semantics pinned on hand-checked words: 'theing'
+    = the+ing (2), 'thing' = t+h+ing (3, 'the' does NOT prefix-match),
+    uppercase falls to the 1-char unknown path, and words longer than the
+    step budget add ceil(rest/4)."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_wikidata_spark.operators.text import (
+        WORDPIECE_MAX_STEPS, wordpiece_count_col,
+    )
+
+    cases = {
+        "the": 1, "theing": 2, "thing": 3, "zzz": 3, "ing": 1,
+        "NO": 2,                      # uppercase: unknown chars, 1 each
+        "a" * 40: WORDPIECE_MAX_STEPS + (40 - WORDPIECE_MAX_STEPS + 3) // 4,
+        "nation": 2,                  # n + ation (longest match wins at pos 1)
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.n for r in df.select(
+        "w", wordpiece_count_col(F.col("w")).alias("n")).collect()}
+    assert got == cases

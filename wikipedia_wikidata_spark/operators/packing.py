@@ -46,11 +46,18 @@ def pack_documents(
     docs: DataFrame,
     budget: int = PACK_BUDGET,
     n_buckets: int = PACK_BUCKETS,
+    token_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, bucket, pack_id, pack_offset): position of each
     document in the concatenated fixed-length-sequence token stream of its
     hash bucket. Documents with zero tokens are dropped (they occupy no
-    stream positions)."""
+    stream positions).
+
+    token_col (round-4 verdict item 6): name of a precomputed per-document
+    token-count column to budget by — e.g. text.wordpiece_token_counts'
+    wp_tokens (broadcast-vocab greedy wordpiece in JVM expressions) or
+    counts imported from the training stack's real tokenizer. Default None
+    keeps the regex proxy. Packing math is identical either way."""
     if n_buckets > (1 << 23):
         # pack_id = bucket * 2^40 + pack index must stay inside int64:
         # bucket < 2^23 and < 2^40 packs per bucket stream (the latter is a
@@ -61,7 +68,11 @@ def pack_documents(
             f"n_buckets={n_buckets} exceeds 2^23; pack_id would overflow int64"
         )
     h = hash60_col(F.col("doc_id").cast("string"))
-    toks = F.regexp_count("text", F.lit(TOKEN_RE)).cast("bigint")
+    toks = (
+        F.col(token_col).cast("bigint")
+        if token_col
+        else F.regexp_count("text", F.lit(TOKEN_RE)).cast("bigint")
+    )
     base = docs.select(
         "doc_id",
         toks.alias("n_tokens"),

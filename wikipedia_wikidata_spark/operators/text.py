@@ -28,6 +28,79 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
 
 
+# Broadcast-vocab greedy longest-match wordpiece (round-4 verdict item 6):
+# a REAL-tokenizer-shaped token counter in pure JVM expressions, so
+# pack_documents budgets can follow subword counts instead of the regex
+# proxy. The vocab is a compile-time literal (a production run would load
+# the model's vocab file the same way — a few 10^4 strings is a trivially
+# broadcast literal/lookup); greedy longest-match-first is WordPiece's
+# matching rule. Characters matching no piece count one token each
+# (byte-fallback analog), so every step consumes >= 1 char and
+# WORDPIECE_MAX_STEPS bounds the per-word fold; chars beyond the step
+# budget add ceil(rest/4) tokens (the ~4-chars-per-token heuristic).
+WORDPIECE_VOCAB: tuple[str, ...] = (
+    "the", "tion", "ing", "ent", "ation", "ter", "and", "ous", "ish",
+    "ness", "ment", "able", "er", "ed", "ly", "es", "re", "an", "on",
+    "at", "en", "or", "in", "is", "it", "al", "ar", "st", "le", "de",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+    "0", "1", "2", "3", "4", "5", "6", "7", "8", "9",
+)
+WORDPIECE_MAX_STEPS = 16
+_WP_SHIFT = 1 << 20  # fold state = consumed_chars * 2^20 + token_count
+
+
+def wordpiece_count_col(word: Column) -> Column:
+    """Greedy longest-match wordpiece token count of one word, as a pure
+    JVM expression fold: state = pos*2^20 + n; each of the MAX_STEPS
+    iterations matches the longest vocab piece at pos (array filter + max
+    over the literal vocab) or consumes one unknown char for one token.
+    Bit-equal DuckDB twin: oracle_training.wordpiece_sql."""
+    vocab = F.array(*[F.lit(p) for p in WORDPIECE_VOCAB])
+    ln = F.length(word)
+
+    def step(s, _):
+        pos = F.shiftright(s, 20)
+        best = F.array_max(
+            F.transform(
+                F.filter(
+                    vocab,
+                    lambda p: word.substr(
+                        (pos + 1).cast("int"), F.length(p)
+                    ) == p,
+                ),
+                F.length,
+            )
+        )
+        adv = F.coalesce(best, F.lit(1)).cast("bigint")
+        return F.when(pos >= ln, s).otherwise(
+            s + adv * F.lit(_WP_SHIFT) + 1
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(WORDPIECE_MAX_STEPS)),
+        F.lit(0).cast("bigint"),
+        step,
+    )
+    consumed = F.shiftright(folded, 20)
+    n = folded - consumed * F.lit(_WP_SHIFT)
+    rest = F.greatest(ln.cast("bigint") - consumed, F.lit(0).cast("bigint"))
+    return n + F.floor((rest + 3) / 4).cast("bigint")
+
+
+def wordpiece_token_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """docs + wp_tokens: per-document greedy-wordpiece token count (sum of
+    wordpiece_count_col over the whitespace words)."""
+    total = F.aggregate(
+        words_col(F.col(text_col)),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + wordpiece_count_col(w),
+    )
+    return docs.withColumn("wp_tokens", total)
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram/stopword heuristic language ID: per language, the fraction of
     words that are stopwords; argmax with 'und' (unknown) when all zero.

@@ -634,19 +634,15 @@ FROM events e JOIN dim d ON e.event_type = d.event_type"""
 TRAINING_ORACLES["events_enrich"] = _events_enrich_sql()
 
 
-def _pack_documents_sql() -> str:
-    """Mirror of operators/packing.pack_documents: same hash60 bucket/order,
-    same integer cumsum, same `//` division — bit-equal positions."""
-    from .operators.packing import PACK_BUCKETS, PACK_BUDGET
+def _pack_tail_sql(base_cte: str) -> str:
+    """Shared cumsum/chunk tail of the pack oracles: same hash60
+    bucket/order, same integer cumsum, same `//` division as
+    operators/packing.pack_documents — bit-equal positions. ``base_cte``
+    must yield (doc_id, n_tokens, bucket, _h)."""
+    from .operators.packing import PACK_BUDGET
 
-    h = hash60_sql("CAST(doc_id AS VARCHAR)")
-    return f"""WITH base AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
-         {h} % {PACK_BUCKETS} AS bucket,
-         {h} AS _h
-  FROM documents
-), nz AS (SELECT * FROM base WHERE n_tokens > 0),
+    return f"""WITH base AS ({base_cte}),
+nz AS (SELECT * FROM base WHERE n_tokens > 0),
 cum AS (
   SELECT doc_id, n_tokens, bucket,
          SUM(n_tokens) OVER (
@@ -661,7 +657,64 @@ SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
 FROM cum"""
 
 
+def _pack_documents_sql() -> str:
+    from .operators.packing import PACK_BUCKETS
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)")
+    return _pack_tail_sql(f"""
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+         {h} % {PACK_BUCKETS} AS bucket,
+         {h} AS _h
+  FROM documents""")
+
+
+def wordpiece_sql(w: str) -> str:
+    """Bit-equal DuckDB twin of text.wordpiece_count_col: greedy
+    longest-match wordpiece token count of the word expression ``w`` via
+    the same pos*2^20+n integer fold (list_reduce seeded by a prepended 0,
+    one iteration per WORDPIECE_MAX_STEPS element)."""
+    from .operators.text import WORDPIECE_MAX_STEPS, WORDPIECE_VOCAB
+
+    vocab = "[" + ", ".join(f"'{p}'" for p in WORDPIECE_VOCAB) + "]"
+    step = (
+        f"CASE WHEN (s >> 20) >= len({w}) THEN s ELSE "
+        f"s + (coalesce(list_max(list_transform(list_filter({vocab}, "
+        f"p -> substr({w}, CAST((s >> 20) + 1 AS INT), len(p)) = p), "
+        f"p -> CAST(len(p) AS BIGINT))), 1) << 20) + 1 END"
+    )
+    folded = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range({WORDPIECE_MAX_STEPS}), "
+        f"i -> CAST(0 AS BIGINT))), (s, i) -> {step})"
+    )
+    # the fold is inlined at each use (DuckDB lambdas don't admit scalar
+    # subqueries): 3x recompute of a 16-step fold, fine for an oracle
+    return (
+        f"(({folded}) - ((({folded}) >> 20) << 20)) "
+        f"+ ((greatest(CAST(len({w}) AS BIGINT) - (({folded}) >> 20), 0) + 3) // 4)"
+    )
+
+
+def _pack_documents_wordpiece_sql() -> str:
+    """pack_documents budgeted by the greedy-wordpiece token counts
+    (text.wordpiece_token_counts) instead of the regex proxy — identical
+    packing math, real-tokenizer-shaped n_tokens."""
+    from .operators.packing import PACK_BUCKETS
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)")
+    return _pack_tail_sql(f"""
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform({words_sql('text')},
+                                               w -> {wordpiece_sql('w')})),
+                       0) AS BIGINT) AS n_tokens,
+         {h} % {PACK_BUCKETS} AS bucket,
+         {h} AS _h
+  FROM documents""")
+
+
 TRAINING_ORACLES["pack_documents"] = _pack_documents_sql()
+TRAINING_ORACLES["pack_documents_wordpiece"] = _pack_documents_wordpiece_sql()
 
 
 def _spans_sql_base() -> str:

@@ -395,6 +395,21 @@ def q_pack_documents(spark, sf_dir):
     return pack_documents(docs)
 
 
+def q_pack_documents_wordpiece(spark, sf_dir):
+    """Sequence packing budgeted by the broadcast-vocab greedy-wordpiece
+    token counter (text.wordpiece_token_counts, pure JVM expressions)
+    instead of the regex proxy — the token_col plug point a production run
+    uses to match the training stack's real tokenizer (round-4 verdict
+    item 6)."""
+    from .operators.packing import pack_documents
+    from .operators.text import wordpiece_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(
+        wordpiece_token_counts(docs), token_col="wp_tokens"
+    )
+
+
 ENRICH_DIM = [("click", 1.5), ("view", 0.25), ("purchase", 10.0)]
 
 
@@ -448,6 +463,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["events_enrich"] = q_events_enrich
     TRAINING_QUERIES["spans_dedup"] = q_spans_dedup
     TRAINING_QUERIES["spans_boilerplate"] = q_spans_boilerplate
+    TRAINING_QUERIES["pack_documents_wordpiece"] = q_pack_documents_wordpiece
     TRAINING_QUERIES["geo_earth_wikidata"] = q_geo_earth_wikidata
     TRAINING_QUERIES["article_full"] = q_article_full
     TRAINING_QUERIES["redirect_full"] = q_redirect_full
