@@ -449,3 +449,105 @@ def test_catalog_compact_small_files(spark, tmp_path_factory):
     assert cat.read(spark, "t").count() == 1000
     # persisted manifest carries the compaction marker too
     assert cat.manifest("t")["compaction"] is True
+
+
+def test_tile_viewport_serves_from_pruned_files(spark, tmp_path_factory):
+    """Serving proof for the clustered tiles layout (round-4 verdict item 7):
+    a viewport query (one zoom, tile_x range) against the pipeline-shaped
+    snapshot (partitioned by zoom, cluster_by zoom/tile_x/tile_y) must
+    (a) partition-prune to the one zoom directory — MEASURED: the executed
+    FileSourceScan's numFiles metric < the snapshot's total file count,
+    (b) push the range predicates into the parquet scan (PushedFilters),
+    (c) lay out tile_x DISJOINTLY across the zoom dir's files (footer
+    min/max), so a footer-stats planner (Iceberg-style) reads only the
+    overlapping file subset — asserted strictly smaller,
+    (d) return exactly the full-scan answer."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from wikipedia_wikidata_spark.operators.tiles import tile_importance, tile_viewport
+    from wikipedia_wikidata_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path_factory.mktemp("tilecat")))
+    pts = (
+        spark.range(0, 30000)
+        .select(
+            (F.pmod(F.xxhash64("id"), F.lit(130_000)) / 1000.0 - 60.0).alias("lat"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(340_000)) / 1000.0 - 170.0).alias("lon"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 1000.0).alias("importance"),
+        )
+    )
+    tiles = tile_importance(pts)
+    cat.write(
+        spark, tiles, "tiles", "fp1", "r1", ["zoom"],
+        cluster_by=["zoom", "tile_x", "tile_y"], cluster_partitions=16,
+    )
+    vdir = os.path.join(cat.path("tiles"), "v00001")
+    all_files = glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+    z10_files = glob.glob(os.path.join(vdir, "zoom=10", "*.parquet"))
+    assert len(z10_files) > 1, "need a multi-file zoom dir for the proof"
+
+    snap = cat.read(spark, "tiles")
+    vp = dict(zoom=10, x_min=500, x_max=540, y_min=0, y_max=1 << 20)
+    res = tile_viewport(snap, **vp)
+    got = sorted(
+        (r.tile_x, r.tile_y, r.n_entities) for r in res.collect()
+    )
+    assert got, "viewport must be non-empty"
+
+    # (d) correctness: equals the same filter applied to the source rows
+    want = sorted(
+        (r.tile_x, r.tile_y, r.n_entities)
+        for r in tile_viewport(tiles, **vp).collect()
+    )
+    assert got == want
+
+    # (a) measured partition pruning: scan read only the zoom=10 files
+    def scan_num_files(df):
+        node = df._jdf.queryExecution().executedPlan()
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            name = n.getClass().getSimpleName()
+            if name == "AdaptiveSparkPlanExec":
+                stack.append(n.executedPlan())
+                continue
+            if "FileSourceScan" in name:
+                return int(n.metrics().apply("numFiles").value())
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        raise AssertionError("no FileSourceScan in executed plan")
+
+    n_read = scan_num_files(res)
+    assert n_read <= len(z10_files) < len(all_files), (
+        n_read, len(z10_files), len(all_files)
+    )
+
+    # (b) range predicates reached the parquet scan
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(tile_x,500" in plan, plan
+
+    # (c) zoom-dir files hold disjoint tile_x ranges; the viewport overlaps
+    # a strict subset (what a footer-stats planner would schedule)
+    ranges = []
+    for f in z10_files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        i = cols["tile_x"]
+        stats = [md.row_group(g).column(i).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min, (ranges,)
+    overlapping = [
+        r for r in ranges if r[0] <= vp["x_max"] and r[1] >= vp["x_min"]
+    ]
+    assert 0 < len(overlapping) < len(ranges), (ranges,)

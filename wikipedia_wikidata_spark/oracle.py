@@ -291,6 +291,7 @@ def _spatial_oracles() -> dict[str, str]:
     from .config import TILE_ZOOMS
     from .functions.cells import cell_sql, morton_sql
     from .operators.spatial import duckdb_ray_cast_sql
+    from .operators.tiles import DEFAULT_VIEWPORT as _VP
     from .operators.tiles import tile_sql
 
     # derived from config, not a literal twin: editing TILE_ZOOMS must keep
@@ -338,6 +339,18 @@ FROM (
 FROM entity_points p
 CROSS JOIN (SELECT unnest([{zooms}]) AS zoom) z
 GROUP BY 1, 2, 3"""
+        ),
+        "tile_viewport": q(
+            f"""SELECT * FROM (
+  SELECT z.zoom, {tx} AS tile_x, {ty} AS tile_y,
+         CAST(count(*) AS BIGINT) AS n_entities,
+         CAST(floor(SUM(p.importance) * 1000000.0 + 0.5) AS BIGINT) AS importance_sum_e6
+  FROM entity_points p
+  CROSS JOIN (SELECT unnest([{zooms}]) AS zoom) z
+  GROUP BY 1, 2, 3
+) WHERE zoom = {_VP['zoom']}
+  AND tile_x BETWEEN {_VP['x_min']} AND {_VP['x_max']}
+  AND tile_y BETWEEN {_VP['y_min']} AND {_VP['y_max']}"""
         ),
         "tile_cell_cover": _tile_cell_cover_oracle(),
         "cell_vector": _cell_vector_oracle(),

@@ -268,6 +268,23 @@ def q_tile_importance(spark, sf_dir):
     )
 
 
+def q_tile_viewport(spark, sf_dir):
+    """Serving row (round-4 verdict item 7): the fixed Berlin viewport
+    (one zoom, tile_x/tile_y range) over the tile pyramid. The pruning
+    proof against the CLUSTERED snapshot layout is
+    tests/test_sources.py::test_tile_viewport_serves_from_pruned_files;
+    this row pins the viewport semantics cross-engine."""
+    from .operators.tiles import DEFAULT_VIEWPORT, tile_importance, tile_viewport
+
+    ep = imp.entity_points(spark, sf_dir)
+    t = tile_viewport(tile_importance(ep), **DEFAULT_VIEWPORT)
+    return t.select(
+        "zoom", "tile_x", "tile_y",
+        F.col("n_entities").alias("n_entities"),
+        _e6("importance_sum", "importance_sum_e6"),
+    )
+
+
 def q_tile_cell_cover(spark, sf_dir):
     """Raster->vector grid: cells (res 5) covering each zoom-8 importance
     tile — the tile->cell-list half of the north_rule's raster<->vector."""

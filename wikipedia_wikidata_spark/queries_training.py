@@ -451,6 +451,7 @@ def _register_post_window() -> None:
         q_extract_wd_page,
         q_geo_earth_wikidata,
         q_redirect_full,
+        q_tile_viewport,
     )
 
     TRAINING_QUERIES["sample_documents"] = q_sample_documents
@@ -464,6 +465,7 @@ def _register_post_window() -> None:
     TRAINING_QUERIES["spans_dedup"] = q_spans_dedup
     TRAINING_QUERIES["spans_boilerplate"] = q_spans_boilerplate
     TRAINING_QUERIES["pack_documents_wordpiece"] = q_pack_documents_wordpiece
+    TRAINING_QUERIES["tile_viewport"] = q_tile_viewport
     TRAINING_QUERIES["geo_earth_wikidata"] = q_geo_earth_wikidata
     TRAINING_QUERIES["article_full"] = q_article_full
     TRAINING_QUERIES["redirect_full"] = q_redirect_full
