@@ -22,11 +22,21 @@ SPARK_GRAFT_BENCH_RUNS=1 for the old single-cold-run behavior.
 --scaling: run the spatial job at two parallelism levels in fresh
 taskset-pinned subprocesses and report throughput at both + efficiency
 (t_lo/t_hi)/(n_hi/n_lo) — the sandbox protocol for the north_rule's N->4N
-criterion (see BENCH/BASELINE.md). Round-3 default: 192 shuffle partitions
+criterion (see BENCH/BASELINE.md). Round-3: 192 fixed shuffle partitions
 (fine tasks smooth stragglers; the 96-part default failed 2 of 5 round-2
-samples on straggler noise) and BOTH the headline pair (2,8) and the
-platform-ceiling-bound wide pair (4,16) are reported, so the artifact
-carries its own calibration context.
+samples on straggler noise). Round-5 (round-4 verdict item 1): legs run
+INTERLEAVED in ABBA blocks (lo,hi,hi,lo), each block yielding two
+efficiency samples from TIME-ADJACENT leg pairs — the measured monotone
+per-core host drift (round 4: the 2-core leg sped up 17% across a session,
+mechanically dragging the ratio) lands symmetrically in both pairs of a
+block and cancels in the median. The wide platform-ceiling pair (4,16) is
+reported once alongside as calibration context.
+
+Host normalization (round-4 verdict item 2): the suite record additionally
+carries host_index (same-day BENCH/calibrate.py legs at local[8]) and
+suite_over_host_index = suite seconds / composite — the quantity that stays
+put when this VM's absolute speed moves 20% between sessions. Disable with
+SPARK_GRAFT_HOST_INDEX=0.
 """
 
 from __future__ import annotations
@@ -158,7 +168,7 @@ def run_bench(master: str, sf_dir: str) -> dict:
     t_spatial = queries["spatial_join_tiles"]
     from wikipedia_wikidata_spark.config import sf_of
 
-    return {
+    out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -170,6 +180,46 @@ def run_bench(master: str, sf_dir: str) -> dict:
         "runs": len(samples),
         "totals": [round(sum(s.values()), 3) for s in samples],
     }
+    hi = _host_index()
+    if hi:
+        out["host_index"] = hi
+        out["suite_over_host_index"] = round(total / hi["composite_s"], 3)
+    return out
+
+
+def _host_index() -> dict | None:
+    """Same-day host speed index (round-4 verdict item 2): the two
+    BENCH/calibrate.py microbenchmark legs at local[8], pinned like the
+    scaling legs. suite_seconds / composite_s is the drift-robust record —
+    this VM's absolute speed moved ~20% between sessions twice, so an
+    absolute-seconds band cannot converge but the ratio can. Returns None
+    (and the record omits the keys) when calibration can't run."""
+    if os.environ.get("SPARK_GRAFT_HOST_INDEX", "1") == "0":
+        return None
+    import shutil
+
+    calib = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "calibrate.py"
+    )
+    try:
+        out = {}
+        total_cores = os.cpu_count() or 32
+        for kind in ("codegen", "shuffle"):
+            cmd = [sys.executable, calib, "--leg", kind, "8"]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"{total_cores - 8}-{total_cores - 1}"] + cmd
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, check=True, timeout=900
+            )
+            out[f"{kind}_local8_s"] = round(
+                json.loads(r.stdout.strip().splitlines()[-1])["t"], 2
+            )
+        out["composite_s"] = round(
+            out["codegen_local8_s"] + out["shuffle_local8_s"], 2
+        )
+        return out
+    except Exception:
+        return None
 
 
 def _scaling_leg(n: int, sf_dir: str) -> dict:
@@ -196,35 +246,71 @@ def main():
         # N -> 4N protocol: the same spatial job, same input, two thread
         # counts, IDENTICAL plan (fixed shuffle partitions), codegen warmed
         # on sf0.001 first so the measured region is the job, not JIT.
-        # Pairs: 2->8 is the headline (platform calibration in
-        # BENCH/BASELINE.md shows it is the widest pair where ANY
-        # shuffle-bearing Spark job — including plain microbenchmarks — can
-        # physically evidence >=0.8 on this host); 4->16 is reported
-        # alongside as the platform-ceiling-bound wide pair so the narrowed
-        # headline pair is self-justifying in the artifact itself.
+        # Headline pair 2->8 (platform calibration in BENCH/BASELINE.md:
+        # the widest pair where ANY shuffle-bearing Spark job can physically
+        # evidence >=0.8 on this host); legs run in ABBA blocks
+        # (lo,hi,hi,lo) x SPARK_GRAFT_SCALING_BLOCKS, each block yielding
+        # two efficiency samples from time-adjacent pairs, so session-long
+        # monotone host drift cancels pairwise (round-4 verdict item 1).
+        # The wide 4->16 platform-ceiling pair runs once as context.
         sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf4")
-        pairs_env = os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2,8;4,16")
-        out = {"metric": "scaling_efficiency", "unit": "ratio", "sf_dir": sf_dir,
-               "parts": int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "192")),
-               "pairs": {}}
-        legs: dict[int, dict] = {}
-        for pair in pairs_env.split(";"):
-            n_lo, n_hi = (int(x) for x in pair.split(","))
-            for n in (n_lo, n_hi):
-                if n not in legs:
-                    legs[n] = _scaling_leg(n, sf_dir)
-            t_lo, t_hi = legs[n_lo]["t_spatial_sec"], legs[n_hi]["t_spatial_sec"]
-            out["pairs"][f"{n_lo}_to_{n_hi}"] = {
-                "efficiency": round((t_lo / t_hi) / (n_hi / n_lo), 3),
-                f"t_local{n_lo}_sec": t_lo,
-                f"t_local{n_hi}_sec": t_hi,
-                f"docs_per_sec_local{n_lo}": legs[n_lo]["docs_per_sec"],
-                f"docs_per_sec_local{n_hi}": legs[n_hi]["docs_per_sec"],
+        n_lo, n_hi = (int(x) for x in os.environ.get(
+            "SPARK_GRAFT_SCALING_PAIR", "2,8").split(","))
+        blocks = int(os.environ.get("SPARK_GRAFT_SCALING_BLOCKS", "3"))
+        t0 = time.time()
+        legs: list[dict] = []
+
+        def leg(n: int) -> dict:
+            r = _scaling_leg(n, sf_dir)
+            r["n"] = n
+            r["at_min"] = round((time.time() - t0) / 60.0, 1)
+            legs.append(r)
+            return r
+
+        samples = []
+        for b in range(blocks):
+            lo1, hi1, hi2, lo2 = leg(n_lo), leg(n_hi), leg(n_hi), leg(n_lo)
+            for tl, th, tag in ((lo1, hi1, "AB"), (lo2, hi2, "BA")):
+                samples.append({
+                    "block": b + 1, "order": tag,
+                    f"t_local{n_lo}_sec": tl["t_spatial_sec"],
+                    f"t_local{n_hi}_sec": th["t_spatial_sec"],
+                    "efficiency": round(
+                        (tl["t_spatial_sec"] / th["t_spatial_sec"])
+                        / (n_hi / n_lo), 3),
+                })
+        lo_times = [r["t_spatial_sec"] for r in legs if r["n"] == n_lo]
+        out = {
+            "metric": "scaling_efficiency", "unit": "ratio", "sf_dir": sf_dir,
+            "parts": int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "192")),
+            "protocol": (
+                f"interleaved ABBA blocks ({n_lo},{n_hi},{n_hi},{n_lo}) x "
+                f"{blocks}; per-pair efficiencies from time-adjacent legs"
+            ),
+            "headline_pair": f"{n_lo},{n_hi}",
+            "value": round(statistics.median(
+                s["efficiency"] for s in samples), 3),
+            "samples": samples,
+            "legs": [
+                {k: r[k] for k in ("n", "t_spatial_sec", "docs_per_sec", "at_min")}
+                for r in legs
+            ],
+            "lo_leg_drift_first_to_last": round(
+                lo_times[-1] / lo_times[0], 3),
+            "n_docs": legs[0]["n_docs"],
+        }
+        wide = os.environ.get("SPARK_GRAFT_SCALING_WIDE", "4,16")
+        if wide:
+            w_lo, w_hi = (int(x) for x in wide.split(","))
+            rl, rh = leg(w_lo), leg(w_hi)
+            out["wide_pair"] = {
+                "pair": wide,
+                "efficiency": round(
+                    (rl["t_spatial_sec"] / rh["t_spatial_sec"])
+                    / (w_hi / w_lo), 3),
+                f"t_local{w_lo}_sec": rl["t_spatial_sec"],
+                f"t_local{w_hi}_sec": rh["t_spatial_sec"],
             }
-        first = pairs_env.split(";")[0]
-        out["value"] = out["pairs"][first.replace(",", "_to_")]["efficiency"]
-        out["headline_pair"] = first
-        out["n_docs"] = legs[int(first.split(",")[0])]["n_docs"]
         print(json.dumps(out))
         return
     if "--spatial-only" in sys.argv:
