@@ -257,6 +257,38 @@ def main():
         n_lo, n_hi = (int(x) for x in os.environ.get(
             "SPARK_GRAFT_SCALING_PAIR", "2,8").split(","))
         blocks = int(os.environ.get("SPARK_GRAFT_SCALING_BLOCKS", "3"))
+        # Calibrate-first gate (round-5): the codegen-only microbenchmark is
+        # the host-day's scaling CEILING — a register-bound loop with no
+        # shuffle, disk or GC. Measured host-days ranged 0.57-0.89 at 2->8
+        # on IDENTICAL code; below ~0.8 the >=0.8 gate is unreachable by ANY
+        # job and an ABBA session is wasted. Refuse to burn hours on such a
+        # day unless explicitly overridden (SPARK_GRAFT_SCALING_MIN_CEILING,
+        # 0 disables).
+        min_ceiling = float(os.environ.get("SPARK_GRAFT_SCALING_MIN_CEILING", "0.8"))
+        ceiling = None
+        if min_ceiling > 0:
+            calib = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "calibrate.py")
+            import shutil as _sh
+            total_cores = os.cpu_count() or 32
+            sec = {}
+            for n in (n_lo, n_hi):
+                cmd = [sys.executable, calib, "--leg", "codegen", str(n)]
+                if _sh.which("taskset"):
+                    cmd = ["taskset", "-c",
+                           f"{total_cores - n}-{total_cores - 1}"] + cmd
+                r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+                sec[n] = json.loads(r.stdout.strip().splitlines()[-1])["t"]
+            ceiling = round((sec[n_lo] / sec[n_hi]) / (n_hi / n_lo), 3)
+            if ceiling < min_ceiling:
+                print(json.dumps({
+                    "metric": "scaling_efficiency", "unit": "ratio",
+                    "skipped": "host-day codegen ceiling below gate",
+                    "codegen_ceiling": ceiling,
+                    "min_ceiling": min_ceiling,
+                    "codegen_legs_s": {str(n): round(sec[n], 2) for n in sec},
+                }))
+                return
         t0 = time.time()
         legs: list[dict] = []
 
@@ -298,6 +330,7 @@ def main():
             "lo_leg_drift_first_to_last": round(
                 lo_times[-1] / lo_times[0], 3),
             "n_docs": legs[0]["n_docs"],
+            "codegen_ceiling_same_day": ceiling,
         }
         wide = os.environ.get("SPARK_GRAFT_SCALING_WIDE", "4,16")
         if wide:
