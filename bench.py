@@ -146,20 +146,70 @@ def _corpus_docs(sf_dir: str) -> int:
     ).fetchone()[0])
 
 
+def _cpu_counters() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor CPU steal.
+
+    Round-5 finding: this VM's 'flapping' (identical code 19 s -> 218 s
+    across hours) correlates with nonzero steal time, i.e. the hypervisor
+    scheduling other tenants onto our cores. Recording Δsteal/Δtotal per
+    timed leg makes the platform attribution a measured quantity in every
+    artifact instead of an inference from microbenchmark drift."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return steal, idle, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """Stolen fraction of DEMANDED cpu: Δsteal / (Δtotal − Δidle−iowait).
+    Steal ticks count vCPU-runnable-but-hypervisor-ran-someone-else, so
+    dividing by demanded (busy + stolen) time reads as 'of the CPU this box
+    asked for, how much did the hypervisor give away' — on a mostly-idle
+    32-core box a raw Δsteal/Δtotal hides a large per-core effect."""
+    if not before or not after or after[2] <= before[2]:
+        return None
+    demanded = (after[2] - before[2]) - (after[1] - before[1])
+    if demanded <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / demanded, 2)
+
+
 def run_bench(master: str, sf_dir: str) -> dict:
     """Median of SPARK_GRAFT_BENCH_RUNS (default 3) cold suite passes."""
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     n_docs = _corpus_docs(sf_dir)  # also pre-generates the corpus, untimed
     samples: list[dict] = []
+    indices: list[dict] = []
+    steals: list[float | None] = []
     if n_runs <= 1:
         samples.append(run_suite(master, sf_dir))
+        hi = _host_index()
+        if hi:
+            indices.append(hi)
     else:
+        # PAIR each suite pass with its own same-moment host-index legs
+        # (round-5): on a flapping host (BENCH/BASELINE.md "flap-day"
+        # section — cold runs 69/40/27 s within ten minutes) a single
+        # host_index sampled at one moment normalizes nothing; a
+        # suite-then-calibration pair shares one host state and their
+        # RATIO stays put. The recorded quantity is the median per-pair
+        # ratio — the ABBA move applied to the suite record.
         for _ in range(n_runs):
+            c0 = _cpu_counters()
             r = subprocess.run(
                 [sys.executable, __file__, "--suite-json", master, sf_dir],
                 capture_output=True, text=True, check=True,
             )
+            steals.append(_steal_pct(c0, _cpu_counters()))
             samples.append(json.loads(r.stdout.strip().splitlines()[-1]))
+            hi = _host_index()
+            if hi:
+                indices.append(hi)
     queries = {
         k: round(statistics.median(s[k] for s in samples), 3)
         for k in samples[0]
@@ -180,10 +230,19 @@ def run_bench(master: str, sf_dir: str) -> dict:
         "runs": len(samples),
         "totals": [round(sum(s.values()), 3) for s in samples],
     }
-    hi = _host_index()
-    if hi:
-        out["host_index"] = hi
-        out["suite_over_host_index"] = round(total / hi["composite_s"], 3)
+    if indices and len(indices) == len(samples):
+        ratios = [
+            round(sum(s.values()) / h["composite_s"], 3)
+            for s, h in zip(samples, indices)
+        ]
+        # median per-pair ratio (flap-robust); the last index is also kept
+        # whole for absolute-seconds context
+        out["host_index"] = indices[-1]
+        out["host_index_per_run"] = [h["composite_s"] for h in indices]
+        out["ratios_per_run"] = ratios
+        out["suite_over_host_index"] = round(statistics.median(ratios), 3)
+    if any(s is not None for s in steals):
+        out["cpu_steal_pct_per_run"] = steals
     return out
 
 
@@ -237,8 +296,13 @@ def _scaling_leg(n: int, sf_dir: str) -> dict:
         # activity on cores 0-1).
         total = os.cpu_count() or 32
         cmd = ["taskset", "-c", f"{total - n}-{total - 1}"] + cmd
+    c0 = _cpu_counters()
     r = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    return json.loads(r.stdout.strip().splitlines()[-1])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    sp = _steal_pct(c0, _cpu_counters())
+    if sp is not None:
+        out["cpu_steal_pct"] = sp
+    return out
 
 
 def main():
@@ -324,7 +388,9 @@ def main():
                 s["efficiency"] for s in samples), 3),
             "samples": samples,
             "legs": [
-                {k: r[k] for k in ("n", "t_spatial_sec", "docs_per_sec", "at_min")}
+                {k: r[k] for k in
+                 ("n", "t_spatial_sec", "docs_per_sec", "at_min",
+                  "cpu_steal_pct") if k in r}
                 for r in legs
             ],
             "lo_leg_drift_first_to_last": round(
