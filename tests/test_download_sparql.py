@@ -192,3 +192,38 @@ def test_place_dump_df_feeds_importance_shape(spark):
     df = place_dump_df(spark, [("Q42", "Q1303167")])
     assert df.columns == ["item", "instance_of"]
     assert df.count() == 1
+
+
+def test_sparql_source_substitutes_places_in_importance_join(spark):
+    """S7 -> J6 integration: the SPARQL-landed (item, instance_of) rows are
+    a drop-in replacement for the synthesized `places` view in
+    wikidata_places (plans/importance.py) — same shape, same broadcast
+    taxonomy join, deterministic ont_level pick."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_wikidata_spark.plans.importance import wikidata_places
+    from wikipedia_wikidata_spark.sources.sparql import (
+        place_dump_df, place_dump_rows,
+    )
+
+    rows = place_dump_rows(["Q130003", "Q1303167"], fetch=lambda q: CANNED[
+        q.split("wd:")[1].split(" ")[0].rstrip(" .\n")
+    ])
+    places = place_dump_df(spark, rows)
+    levels = spark.createDataFrame(
+        [("Q130003", 3), ("Q1303167", 5)], "place_type string, level int"
+    )
+    geo_earth = spark.createDataFrame(
+        [(1, 52.5, 13.4, "Q988298")],
+        "gt_page_id int, gt_lat double, gt_lon double, page_title string",
+    )
+    out = wikidata_places({"places": places}, levels, geo_earth)
+    got = {r["item"]: r for r in out.collect()}
+    # Q988298 instances BOTH fetched types; highest ont_level wins (5) and
+    # its geo row patches lat/lon
+    assert got["Q988298"]["ont_level"] == 5
+    assert got["Q988298"]["instance_of"] == "Q1303167"
+    assert got["Q988298"]["lat"] == 52.5 and got["Q988298"]["lon"] == 13.4
+    assert got["Q42"]["ont_level"] == 5 and got["Q42"]["lat"] is None
+    assert got["Q6922586"]["ont_level"] == 3
+    assert out.columns == ["item", "instance_of", "ont_level", "lat", "lon"]
