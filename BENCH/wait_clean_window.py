@@ -76,8 +76,12 @@ def main() -> int:
             f.write(line + "\n")
         print(json.dumps({"event": "gate_result",
                           "skipped": rec.get("skipped"),
+                          "aborted": rec.get("aborted"),
                           "value": rec.get("value")}), flush=True)
-        if "skipped" not in rec:
+        # A refused gate costs two calibration legs; an aborted block (a leg
+        # steal stamp tripped bench.py's abort-on-pollution) costs the legs
+        # run so far. Both mean the window went dirty — keep waiting.
+        if "skipped" not in rec and "aborted" not in rec:
             return 0
         time.sleep(POLL_S)
     return 3 if attempts == 0 else 4

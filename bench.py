@@ -179,6 +179,23 @@ def _steal_pct(before, after) -> float | None:
     return round(100.0 * (after[0] - before[0]) / demanded, 2)
 
 
+def _leg_polluted(leg_rec: dict, max_steal_pct: float) -> bool:
+    """True when a completed leg's own steal stamp labels it platform-noise.
+
+    Round-5 finding this encodes: the retake block passed the 0.844
+    calibrate gate at launch and then flapped — six of eight legs ran at
+    6.8–22.8% demanded steal and the whole ~76-minute session was wasted
+    (BENCH/scaling_round5_retake.json). A pre-gate cannot certify the
+    following half hour on a host that flaps sub-minute; the per-leg stamp
+    is the first signal that CAN, so act on it immediately instead of
+    finishing a block the protocol will have to discard anyway.
+    """
+    if max_steal_pct <= 0:
+        return False
+    sp = leg_rec.get("cpu_steal_pct")
+    return sp is not None and sp > max_steal_pct
+
+
 def run_bench(master: str, sf_dir: str) -> dict:
     """Median of SPARK_GRAFT_BENCH_RUNS (default 3) cold suite passes."""
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -210,8 +227,24 @@ def run_bench(master: str, sf_dir: str) -> dict:
             hi = _host_index()
             if hi:
                 indices.append(hi)
+    # Steal-aware headline (round-5): a cold run whose own /proc/stat stamp
+    # shows the hypervisor took >threshold of demanded CPU measures the
+    # noisy neighbor, not the engine — measured same-session: 111 s at 34%
+    # steal vs 26.8 s at 1.8% on identical code/data. Medians are taken
+    # over the CLEAN runs when any exist; every run's total and stamp stays
+    # in the artifact so the selection is auditable. 0 disables.
+    max_run_steal = float(os.environ.get("SPARK_GRAFT_SUITE_MAX_RUN_STEAL", "5.0"))
+    clean_idx = [
+        i for i in range(len(samples))
+        if max_run_steal <= 0 or i >= len(steals) or steals[i] is None
+        or steals[i] <= max_run_steal
+    ]
+    all_polluted = not clean_idx
+    if all_polluted:
+        clean_idx = list(range(len(samples)))
+    picked = [samples[i] for i in clean_idx]
     queries = {
-        k: round(statistics.median(s[k] for s in samples), 3)
+        k: round(statistics.median(s[k] for s in picked), 3)
         for k in samples[0]
     }
     total = round(sum(queries.values()), 3)
@@ -228,19 +261,23 @@ def run_bench(master: str, sf_dir: str) -> dict:
         "docs_per_sec": round(n_docs / t_spatial, 1),
         "master": master,
         "runs": len(samples),
+        "clean_runs": 0 if all_polluted else len(clean_idx),
         "totals": [round(sum(s.values()), 3) for s in samples],
     }
+    if all_polluted:
+        out["all_runs_polluted"] = True  # fell back to all-runs medians
     if indices and len(indices) == len(samples):
         ratios = [
             round(sum(s.values()) / h["composite_s"], 3)
             for s, h in zip(samples, indices)
         ]
-        # median per-pair ratio (flap-robust); the last index is also kept
-        # whole for absolute-seconds context
+        # median per-pair ratio over the same clean subset (flap-robust);
+        # the last index is also kept whole for absolute-seconds context
         out["host_index"] = indices[-1]
         out["host_index_per_run"] = [h["composite_s"] for h in indices]
         out["ratios_per_run"] = ratios
-        out["suite_over_host_index"] = round(statistics.median(ratios), 3)
+        out["suite_over_host_index"] = round(
+            statistics.median(ratios[i] for i in clean_idx), 3)
     if any(s is not None for s in steals):
         out["cpu_steal_pct_per_run"] = steals
     return out
@@ -353,28 +390,56 @@ def main():
                     "codegen_legs_s": {str(n): round(sec[n], 2) for n in sec},
                 }))
                 return
+        # Abort-on-pollution: a leg whose OWN steal stamp exceeds this
+        # threshold ends the session at once (the artifact self-labels as
+        # aborted and the watcher retries), spending ~one leg instead of
+        # the rest of a block the protocol would discard. 0 disables.
+        max_leg_steal = float(os.environ.get(
+            "SPARK_GRAFT_SCALING_MAX_LEG_STEAL", "5.0"))
         t0 = time.time()
         legs: list[dict] = []
+
+        class _Polluted(Exception):
+            pass
 
         def leg(n: int) -> dict:
             r = _scaling_leg(n, sf_dir)
             r["n"] = n
             r["at_min"] = round((time.time() - t0) / 60.0, 1)
             legs.append(r)
+            if _leg_polluted(r, max_leg_steal):
+                raise _Polluted
             return r
 
         samples = []
-        for b in range(blocks):
-            lo1, hi1, hi2, lo2 = leg(n_lo), leg(n_hi), leg(n_hi), leg(n_lo)
-            for tl, th, tag in ((lo1, hi1, "AB"), (lo2, hi2, "BA")):
-                samples.append({
-                    "block": b + 1, "order": tag,
-                    f"t_local{n_lo}_sec": tl["t_spatial_sec"],
-                    f"t_local{n_hi}_sec": th["t_spatial_sec"],
-                    "efficiency": round(
-                        (tl["t_spatial_sec"] / th["t_spatial_sec"])
-                        / (n_hi / n_lo), 3),
-                })
+
+        def pair(b: int, tag: str, tl: dict, th: dict) -> None:
+            samples.append({
+                "block": b + 1, "order": tag,
+                f"t_local{n_lo}_sec": tl["t_spatial_sec"],
+                f"t_local{n_hi}_sec": th["t_spatial_sec"],
+                "efficiency": round(
+                    (tl["t_spatial_sec"] / th["t_spatial_sec"])
+                    / (n_hi / n_lo), 3),
+            })
+
+        aborted = None
+        try:
+            # record each time-adjacent pair as soon as its legs complete,
+            # so an abort mid-block keeps the pairs already measured
+            for b in range(blocks):
+                lo1, hi1 = leg(n_lo), leg(n_hi)
+                pair(b, "AB", lo1, hi1)
+                hi2, lo2 = leg(n_hi), leg(n_lo)
+                pair(b, "BA", lo2, hi2)
+        except _Polluted:
+            aborted = {
+                "aborted": "leg cpu steal above threshold",
+                "max_leg_steal_pct": max_leg_steal,
+                "polluted_leg": {k: legs[-1][k] for k in
+                                 ("n", "t_spatial_sec", "at_min",
+                                  "cpu_steal_pct") if k in legs[-1]},
+            }
         lo_times = [r["t_spatial_sec"] for r in legs if r["n"] == n_lo]
         out = {
             "metric": "scaling_efficiency", "unit": "ratio", "sf_dir": sf_dir,
@@ -384,8 +449,8 @@ def main():
                 f"{blocks}; per-pair efficiencies from time-adjacent legs"
             ),
             "headline_pair": f"{n_lo},{n_hi}",
-            "value": round(statistics.median(
-                s["efficiency"] for s in samples), 3),
+            "value": (round(statistics.median(
+                s["efficiency"] for s in samples), 3) if samples else None),
             "samples": samples,
             "legs": [
                 {k: r[k] for k in
@@ -398,8 +463,10 @@ def main():
             "n_docs": legs[0]["n_docs"],
             "codegen_ceiling_same_day": ceiling,
         }
+        if aborted:
+            out.update(aborted)
         wide = os.environ.get("SPARK_GRAFT_SCALING_WIDE", "4,16")
-        if wide:
+        if wide and not aborted:
             w_lo, w_hi = (int(x) for x in wide.split(","))
             rl, rh = leg(w_lo), leg(w_hi)
             out["wide_pair"] = {

@@ -24,6 +24,132 @@ def test_steal_pct_none_on_no_demand_or_no_elapsed():
     assert bench._steal_pct((0, 0, 0), None) is None
 
 
+def test_leg_polluted_threshold_and_disable():
+    # retake-day legs: 16.52% steal trips the default 5% threshold
+    assert bench._leg_polluted({"cpu_steal_pct": 16.52}, 5.0)
+    # record-day-clean leg passes
+    assert not bench._leg_polluted({"cpu_steal_pct": 0.95}, 5.0)
+    # boundary is strict: exactly-at-threshold passes
+    assert not bench._leg_polluted({"cpu_steal_pct": 5.0}, 5.0)
+    # no stamp (non-Linux /proc/stat) -> never aborts
+    assert not bench._leg_polluted({}, 5.0)
+    # 0 disables the abort entirely, however dirty the leg
+    assert not bench._leg_polluted({"cpu_steal_pct": 44.0}, 0.0)
+
+
+def test_scaling_abort_plumbing(monkeypatch, capsys):
+    """A polluted leg ends the session with a self-labeled artifact.
+
+    Drives bench.main()'s --scaling branch with a fake _scaling_leg whose
+    third leg carries a retake-day steal stamp: the run must stop there
+    (3 legs, not 8+wide), keep the one complete AB sample, and label
+    itself aborted with the offending leg attached.
+    """
+    import json
+
+    calls = []
+
+    def fake_leg(n, sf_dir):
+        calls.append(n)
+        steal = 20.0 if len(calls) == 3 else 0.5
+        t = 100.0 if n == 2 else 30.0
+        return {"t_spatial_sec": t, "docs_per_sec": 1000.0 / t,
+                "n_docs": 1000, "cpu_steal_pct": steal}
+
+    monkeypatch.setattr(bench, "_scaling_leg", fake_leg)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_MIN_CEILING", "0")  # no gate legs
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_WIDE", "")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_BLOCKS", "2")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--scaling"])
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls == [2, 8, 8]  # stopped at the polluted third leg
+    assert out["aborted"] == "leg cpu steal above threshold"
+    assert out["polluted_leg"]["cpu_steal_pct"] == 20.0
+    assert out["polluted_leg"]["n"] == 8
+    # the one complete time-adjacent pair survives as a sample
+    assert len(out["samples"]) == 1
+    assert out["samples"][0]["efficiency"] == round((100.0 / 30.0) / 4, 3)
+    assert out["value"] == out["samples"][0]["efficiency"]
+    assert "wide_pair" not in out
+
+
+def test_scaling_clean_run_has_no_abort_keys(monkeypatch, capsys):
+    import json
+
+    def fake_leg(n, sf_dir):
+        t = 100.0 if n == 2 else 30.0
+        return {"t_spatial_sec": t, "docs_per_sec": 1000.0 / t,
+                "n_docs": 1000, "cpu_steal_pct": 0.4}
+
+    monkeypatch.setattr(bench, "_scaling_leg", fake_leg)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_MIN_CEILING", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_WIDE", "")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_BLOCKS", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--scaling"])
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "aborted" not in out and "polluted_leg" not in out
+    assert len(out["samples"]) == 2 and out["value"] is not None
+
+
+def _fake_suite_env(monkeypatch, suite_runs, steal_stamps, composite=16.0):
+    """Wire run_bench's multi-run branch to canned suite passes + stamps."""
+    import json
+
+    runs = iter(suite_runs)
+    steals = iter(steal_stamps)
+
+    class _Res:
+        def __init__(self, payload):
+            self.stdout = json.dumps(payload)
+
+    monkeypatch.setattr(bench.subprocess, "run",
+                        lambda cmd, **kw: _Res(next(runs)))
+    monkeypatch.setattr(bench, "_steal_pct", lambda a, b: next(steals))
+    monkeypatch.setattr(bench, "_cpu_counters", lambda: (0, 0, 0))
+    monkeypatch.setattr(bench, "_host_index", lambda: {
+        "codegen_local8_s": 3.0, "shuffle_local8_s": composite - 3.0,
+        "composite_s": composite})
+    monkeypatch.setattr(bench, "_corpus_docs", lambda d: 48017)
+
+
+SUITE_KEYS = ("importance_pipeline", "spatial_join_tiles",
+              "dedup_minhash_lsh", "emb_ann_lsh")
+
+
+def _suite(total4):
+    return dict(zip(SUITE_KEYS, total4))
+
+
+def test_suite_headline_prefers_steal_clean_runs(monkeypatch):
+    """The 34%-steal 111 s run must not drag the headline; the single
+    clean run's numbers ARE the record (measured same-session shape)."""
+    polluted1 = _suite([30.0, 40.0, 20.0, 21.0])   # 111 s at 34% steal
+    clean = _suite([6.0, 6.0, 4.0, 3.0])           # 19 s at 1.8%
+    polluted2 = _suite([10.0, 12.0, 9.0, 8.6])     # 39.6 s at 17.9%
+    _fake_suite_env(monkeypatch, [polluted1, clean, polluted2],
+                    [34.0, 1.8, 17.9])
+    out = bench.run_bench("local[32]", "/root/testdata/sf0.1")
+    assert out["clean_runs"] == 1 and "all_runs_polluted" not in out
+    assert out["value"] == 19.0
+    assert out["queries"] == clean
+    assert out["totals"] == [111.0, 19.0, 39.6]  # every run stays auditable
+    assert out["cpu_steal_pct_per_run"] == [34.0, 1.8, 17.9]
+    # normalized record over the same clean subset: 19 / 16
+    assert out["suite_over_host_index"] == round(19.0 / 16.0, 3)
+
+
+def test_suite_headline_falls_back_when_all_runs_polluted(monkeypatch):
+    a, b, c = (_suite([10.0, 10.0, 10.0, 10.0]),
+               _suite([12.0, 12.0, 12.0, 12.0]),
+               _suite([14.0, 14.0, 14.0, 14.0]))
+    _fake_suite_env(monkeypatch, [a, b, c], [20.0, 30.0, 25.0])
+    out = bench.run_bench("local[32]", "/root/testdata/sf0.1")
+    assert out["all_runs_polluted"] is True and out["clean_runs"] == 0
+    assert out["value"] == 48.0  # all-runs median, self-labeled
+
+
 def test_cpu_counters_shape():
     c = bench._cpu_counters()
     # on Linux this must parse; tuple (steal, idle, total), monotone totals
