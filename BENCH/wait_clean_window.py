@@ -72,7 +72,12 @@ def main() -> int:
                            env=env, cwd=REPO)
         line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
         rec = json.loads(line)
-        with open(out_path, "w") as f:
+        # an aborted block's COMPLETED pairs are clean-stamped evidence —
+        # keep each aborted artifact in a side file instead of letting the
+        # next attempt overwrite it
+        path = (f"{out_path}.aborted{attempts}" if "aborted" in rec
+                else out_path)
+        with open(path, "w") as f:
             f.write(line + "\n")
         print(json.dumps({"event": "gate_result",
                           "skipped": rec.get("skipped"),
