@@ -1,0 +1,107 @@
+"""Round-5 curation operators: repetition stats, PII redaction, shard
+shuffle, source mix. Cross-engine parity (exact values vs DuckDB) runs in
+test_oracle_parity; these pin hand-checked semantics and plan shapes.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from wikipedia_wikidata_spark.operators.sampling import shard_shuffle
+from wikipedia_wikidata_spark.operators.text import (
+    redact_pii,
+    repetition_stats,
+    source_mix,
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_stats_hand_cases(spark):
+    """'a b a b a': 3/5 dup words, top 2-gram 2/4, dup-3-gram positions 2/3
+    ('a b a' twice, 'b a b' once). Unique doc: 0 / 1-of-2 / 0. Single word
+    and empty text: gram arrays empty, all fractions 0 (denominators
+    floored at 1)."""
+    df = _docs_df(spark, ["a b a b a", "x y z", "x", ""])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[0]["n_words"] == 5
+    assert got[0]["dup_word_frac_e6"] == 600000
+    assert got[0]["top_2gram_frac_e6"] == 500000
+    assert got[0]["dup_3gram_frac_e6"] == 666667  # floor(2e6/3 + .5)
+    assert got[1]["dup_word_frac_e6"] == 0
+    assert got[1]["top_2gram_frac_e6"] == 500000  # max count 1 of 2 bigrams
+    assert got[1]["dup_3gram_frac_e6"] == 0
+    for d in (2, 3):
+        assert got[d]["dup_word_frac_e6"] == 0
+        assert got[d]["top_2gram_frac_e6"] == 0
+        assert got[d]["dup_3gram_frac_e6"] == 0
+
+
+def test_repetition_stats_is_narrow(spark):
+    """Per-row sorted-array folds: the whole operator is one map stage —
+    zero Exchange in the plan (the 100-TB point of the design)."""
+    df = _docs_df(spark, ["a b c"] * 10)
+    out = repetition_stats(df)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_shard_shuffle_invariants(spark):
+    """Every row keeps exactly one (shard, pos); pos is 1..n contiguous per
+    shard; the permutation is plan-independent; a new seed reorders."""
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = shard_shuffle(df, "doc_id", 8).collect()
+    assert len(out) == 5000
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    out2 = shard_shuffle(df.repartition(13), "doc_id", 8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # another epoch seed keeps the shard layout semantics but permutes order
+    seed7 = shard_shuffle(df, "doc_id", 8, seed=7).collect()
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in out}
+    b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in seed7}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 4000  # nearly every doc lands elsewhere
+
+
+def test_redact_pii_hand_cases(spark):
+    """Counts and the redacted text itself (via md5) on planted PII; a
+    clean document passes through byte-identical."""
+    clean = "no personal data here"
+    dirty = "write to bob@example.com or 10.0.0.1 tel +123456789 end"
+    red = "write to <EMAIL> or <IP> tel <PHONE> end"
+    df = _docs_df(spark, [clean, dirty])
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (0, 0, 0)
+    assert got[0]["redacted_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (1, 1, 1)
+    assert got[1]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_source_mix_hand_case(spark):
+    """Two sources; one carries a duplicated text -> n_unique_docs dips."""
+    rows = [
+        (1, "alpha beta", "en", "web"),
+        (2, "alpha beta", "en", "web"),
+        (3, "gamma", "en", "web"),
+        (4, "delta epsilon zeta", "de", "books"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {(r["source"], r["lang"]): r.asDict() for r in source_mix(df).collect()}
+    web = got[("web", "en")]
+    assert (web["n_docs"], web["n_tokens"], web["n_unique_docs"]) == (3, 5, 2)
+    books = got[("books", "de")]
+    assert (books["n_docs"], books["n_tokens"], books["n_unique_docs"]) == (1, 3, 1)

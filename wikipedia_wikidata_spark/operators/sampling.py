@@ -69,3 +69,39 @@ def stratified_sample(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment:
+    (row..., shard, pos) where shard = hash60(seed:key) mod n_shards and
+    pos is the row's rank inside its shard ordered by (hash, key).
+
+    The (shard, pos) pair IS the epoch read order — a training job reads
+    shard files in pos order and gets a reproducible pseudo-random
+    permutation of the corpus that is independent of input partitioning,
+    task retries, and resume points (same contract as hash_sample). A new
+    seed yields a fresh permutation for the next epoch without rewriting
+    the corpus.
+
+    100-TB shape: ONE hash-partition shuffle on `shard` + a per-shard sort
+    — exactly what `df.repartition(n_shards, shard).sortWithinPartitions`
+    ships to a writer. There is no global sort: each shard orders
+    independently (the window partitions by shard), so parallelism =
+    n_shards and per-task memory is corpus/n_shards. Pick n_shards the way
+    you'd pick output file count (e.g. corpus_bytes / 512 MiB).
+    """
+    h = _sample_hash(key_col, seed)
+    d = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        d.withColumn("pos", F.row_number().over(w).cast("bigint")).drop("_h")
+    )

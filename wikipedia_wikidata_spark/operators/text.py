@@ -209,3 +209,144 @@ def props_stats(events: DataFrame) -> DataFrame:
             F.countDistinct("props_k").alias("k_distinct"),
         )
     )
+
+
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models", Table A1 — the public repetition filters every production
+# training-data pipeline applies): duplicate-word fraction, most-common-
+# 2-gram fraction, duplicated-3-gram fraction. The reference has no such
+# operator (it curates places, not corpora); this is part of the engine's
+# LLM-curation surface next to quality_score/token_counts.
+#
+# 100-TB shape: every statistic is computed PER ROW from the document's own
+# word array — array_sort + one expression fold per n-gram size — so the
+# operator is a narrow map with ZERO shuffle (contrast an explode +
+# groupBy(doc_id, gram) formulation, which shuffles every gram occurrence).
+# Per-doc state is bounded by the largest single document, never the corpus.
+def _run_stats_col(grams: Column) -> Column:
+    """struct(mx, dup) over a gram array: mx = occurrences of the most
+    frequent gram, dup = number of positions whose gram occurs more than
+    once. One fold over the SORTED array (equal grams are adjacent runs):
+    run length 2 adds both positions of the pair, each further repeat adds
+    one. Grams are never '' (words are non-empty), so '' is a safe init."""
+    s = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("mx"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        dup = acc["dup"] + F.when(run == 2, F.lit(2)).when(
+            run > 2, F.lit(1)
+        ).otherwise(F.lit(0)).cast("bigint")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(
+        s, init, step,
+        lambda acc: F.struct(acc["mx"].alias("mx"), acc["dup"].alias("dup")),
+    )
+
+
+def _e6_col(num: Column, den: Column) -> Column:
+    """floor(num * 1e6 / den + 1/2) in EXACT integer arithmetic
+    ((2*num*1e6 + den) div (2*den)) — bit-equal on any engine, no double
+    rounding at the .5 boundary. den must be >= 1. The Column `/` operator
+    is DOUBLE division, so divide only after subtracting the modulus: the
+    quotient is then an exact integer and IEEE division returns it exactly
+    (all operands far below 2^53)."""
+    a = num * F.lit(2000000) + den
+    b = den * F.lit(2)
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals: (doc_id, n_words, dup_word_frac_e6,
+    top_2gram_frac_e6, dup_3gram_frac_e6). Fraction denominators are the
+    number of word/gram positions (max 1); _e6 = round-half-up fixed point.
+    DuckDB twin: oracle_training._repetition_sql (unnest + groupBy grams —
+    set-identical semantics, different physical shape)."""
+    from .dedup import shingles_col
+
+    w = words_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("_ndw"),
+        _run_stats_col(shingles_col(F.col("text"), 2)).alias("_s2"),
+        _run_stats_col(shingles_col(F.col("text"), 3)).alias("_s3"),
+    )
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    n2 = F.greatest(F.col("n_words") - 1, F.lit(1))
+    n3 = F.greatest(F.col("n_words") - 2, F.lit(1))
+    return d.select(
+        "doc_id",
+        "n_words",
+        _e6_col(F.col("n_words") - F.col("_ndw"), nw).alias("dup_word_frac_e6"),
+        _e6_col(F.col("_s2")["mx"], n2).alias("top_2gram_frac_e6"),
+        _e6_col(F.col("_s3")["dup"], n3).alias("dup_3gram_frac_e6"),
+    )
+
+
+# PII scrubbing — the curation step between dedup and packing in a
+# production training-data pipeline. Patterns are deliberately restricted
+# to syntax with IDENTICAL semantics in Java regex (Spark, JVM codegen) and
+# RE2 (DuckDB oracle): character classes, bounded repetition, \b word
+# boundaries; no backrefs, no lookaround. Replacement order is fixed
+# (emails, then IPv4, then phones) on both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{9,14}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, redacted_md5): count and strip
+    emails / IPv4s / international phone numbers. Pure narrow map — three
+    JVM regexp passes per row, zero shuffle; at 100 TB this pipelines with
+    the quality filters inside one codegen stage."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) curation mix report: document count, whitespace
+    token volume, and distinct normalized fingerprints (so dup rate =
+    1 - n_unique_docs/n_docs). The report every corpus-composition decision
+    reads before weighting sources in a training mix. One groupBy with
+    map-side partial aggregation (countDistinct partials include the
+    distinct key); output cardinality = |sources| x |langs| (tiny)."""
+    w = words_col(F.col("text"))
+    norm = F.lower(F.regexp_replace("text", "[^A-Za-z0-9 ]", " "))
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(w).cast("bigint").alias("_tok"),
+        hash60_col(norm).alias("_fp"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.countDistinct("_fp").alias("n_unique_docs"),
+    )

@@ -812,3 +812,109 @@ FROM (SELECT unnest({words_sql('text')}) AS token FROM documents)
 GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 20"""
+
+
+def _repetition_sql() -> str:
+    """DuckDB twin of operators.text.repetition_stats: identical statistics
+    via unnest + groupBy(doc_id, gram) (the Spark side folds over sorted
+    per-row arrays instead — zero shuffle). Integer round-half-up fixed
+    point on both engines: (2*num*1e6 + den) // (2*den)."""
+    w = words_sql("text")
+
+    def e6(num: str, den: str) -> str:
+        d = f"greatest({den}, 1)"
+        return f"CAST((2 * ({num}) * 1000000 + {d}) // (2 * {d}) AS BIGINT)"
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({w}) AS BIGINT) AS n_words,
+         CAST(len(list_distinct({w})) AS BIGINT) AS ndw,
+         {shingles_sql(w, 2)} AS g2,
+         {shingles_sql(w, 3)} AS g3
+  FROM documents
+),
+g2c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY doc_id, g
+),
+g2s AS (SELECT doc_id, max(c) AS mx2 FROM g2c GROUP BY doc_id),
+g3c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(g3) AS g FROM base) GROUP BY doc_id, g
+),
+g3s AS (
+  SELECT doc_id, coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup3
+  FROM g3c GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+  {e6('b.n_words - b.ndw', 'b.n_words')} AS dup_word_frac_e6,
+  {e6('coalesce(g2s.mx2, 0)', 'b.n_words - 1')} AS top_2gram_frac_e6,
+  {e6('coalesce(g3s.dup3, 0)', 'b.n_words - 2')} AS dup_3gram_frac_e6
+FROM base b
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN g3s USING (doc_id)"""
+
+
+TRAINING_ORACLES["text_repetition"] = _repetition_sql()
+
+
+def _shard_shuffle_sql(n_shards: int = 8) -> str:
+    """DuckDB twin of operators.sampling.shard_shuffle over documents."""
+    h = hash60_sql("concat('42:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH hashed AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id,
+       CAST(h % {n_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY h % {n_shards} ORDER BY h ASC, doc_id ASC
+       ) AS BIGINT) AS pos
+FROM hashed"""
+
+
+TRAINING_ORACLES["corpus_shard_shuffle"] = _shard_shuffle_sql()
+
+
+def _pii_redact_sql() -> str:
+    """DuckDB twin of q_text_pii_redact: identical planted PII, identical
+    patterns (restricted to the Java-regex ∩ RE2 common subset), identical
+    replacement order."""
+    from .operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_IPV4}', '<IP>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' tel +49' || CAST(doc_id % 10000000 + 30000000 AS VARCHAR)
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5({red}) AS redacted_md5
+FROM planted"""
+
+
+TRAINING_ORACLES["text_pii_redact"] = _pii_redact_sql()
+
+
+TRAINING_ORACLES["source_mix"] = f"""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({words_sql('text')})) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT {hash60_sql(
+           "lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g'))"
+       )}) AS BIGINT) AS n_unique_docs
+FROM documents
+GROUP BY source, lang"""

@@ -473,3 +473,77 @@ def _register_post_window() -> None:
 
 _register_window_tail()
 _register_post_window()
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document (dup-word fraction,
+    top-2-gram fraction, duplicated-3-gram fraction) — computed per row
+    with sorted-array folds, zero shuffle (operators/text.py
+    repetition_stats). Post-window registry entry; DuckDB oracle
+    _repetition_sql is the set-semantics twin."""
+    from .operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+# post-window (pytest-parity-checked, beyond the driver's 50-slot window)
+TRAINING_QUERIES["text_repetition"] = q_text_repetition
+
+
+def q_corpus_shard_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: every document gets a (shard, pos)
+    read-order coordinate derived from hash60(seed:doc_id) — reproducible
+    across retries/partitionings, one hash-partition shuffle + per-shard
+    sort (operators/sampling.py shard_shuffle)."""
+    from .operators.sampling import shard_shuffle
+
+    return shard_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 8
+    ).select("doc_id", "shard", "pos")
+
+
+TRAINING_QUERIES["corpus_shard_shuffle"] = q_corpus_shard_shuffle
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrub (operators/text.py redact_pii). The synthetic driver corpus
+    contains no PII, so the query PLANTS a deterministic email + IPv4 +
+    phone per document (pure function of doc_id, mirrored verbatim in the
+    oracle) and then counts/strips them — exercising match, count and
+    replacement semantics end-to-end on both engines."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import redact_pii
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel +49"),
+            (F.col("doc_id") % 10000000 + 30000000).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+TRAINING_QUERIES["text_pii_redact"] = q_text_pii_redact
+
+
+def q_source_mix(spark, sf_dir):
+    """Corpus composition report per (source, lang): docs, token volume,
+    distinct-content count (operators/text.py source_mix)."""
+    from .operators.text import source_mix
+
+    return source_mix(_docs(spark, sf_dir))
+
+
+TRAINING_QUERIES["source_mix"] = q_source_mix
