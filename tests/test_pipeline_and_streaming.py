@@ -547,3 +547,29 @@ def test_streaming_dedup_within_watermark_and_restart(spark, tmp_path_factory):
     all_ids = {r["event_id"] for r in t.to_pylist()}
     # every event appears exactly once across both drains; nothing lost
     assert set(ids2) == all_ids and len(ids2) == len(all_ids)
+
+
+def test_streaming_sliding_equals_batch(spark, tmp_path_factory):
+    """Sliding windows (1 h / 30 min): the streaming agg on a closed input
+    equals the batch explode-over-starts query — every event in exactly two
+    windows on both paths."""
+    from wikipedia_wikidata_spark.queries_training import q_events_sliding
+    from wikipedia_wikidata_spark.streaming.events import (
+        run_sliding_available_now,
+    )
+
+    d = tmp_path_factory.mktemp("events_sliding")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(d / "part-0.parquet"))
+    got = run_sliding_available_now(spark, str(d), "t_stream_sliding")
+    batch = q_events_sliding(spark, "/root/testdata/sf0.001").select(
+        (F.col("window_start") * 1000000).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "value_sum_e6",
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+    # overlap sanity: sliding rows ~= 2x the 30-min tumbling group count
+    n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert sum(r[2] for r in a) == 2 * n_events

@@ -172,3 +172,48 @@ def test_tsv_sink_raises_on_tab_in_title(spark, tmp_path_factory):
         write_importance_tsv(df, out)
     assert "title contains tab/newline" in str(exc.value)
     assert not os.path.exists(out)  # nothing promoted to the final path
+
+
+def test_jsonl_sink_roundtrip_and_determinism(spark, tmp_path_factory):
+    """Sharded gzip JSONL export: schema-declared read-back returns the
+    exact row set, and (shard, pos)-ordered writes are byte-deterministic
+    under a different input partitioning (Java GZIPOutputStream writes
+    MTIME=0, so content determinism is file-byte determinism)."""
+    import glob
+    import hashlib
+
+    from wikipedia_wikidata_spark.operators.sampling import shard_shuffle
+    from wikipedia_wikidata_spark.sinks import (
+        read_training_jsonl,
+        write_training_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sharded = shard_shuffle(docs, "doc_id", 4)
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long, shard long, pos long")
+
+    def digests(path):
+        out = write_training_jsonl(
+            sharded_in, str(path), ["shard", "pos"], shards=4
+        )
+        files = sorted(glob.glob(f"{out}/part-*.json.gz"))
+        return sorted(
+            hashlib.md5(open(f, "rb").read()).hexdigest() for f in files
+        )
+
+    sharded_in = sharded
+    d1 = tmp_path_factory.mktemp("jsonl1")
+    h1 = digests(d1)
+    back = read_training_jsonl(spark, str(d1), schema)
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in back.select("doc_id", "text", "shard", "pos").collect()}
+    b = {tuple(r) for r in sharded.select("doc_id", "text", "shard", "pos").collect()}
+    assert a == b
+    sharded_in = shard_shuffle(docs.repartition(7), "doc_id", 4)
+    d2 = tmp_path_factory.mktemp("jsonl2")
+    h2 = digests(d2)
+    # hash-partitioning 8 shard values into 4 partitions can leave a
+    # partition empty (no file is written for it) — the determinism claim
+    # is h1 == h2, not the file count
+    assert h1 == h2 and len(h1) >= 2

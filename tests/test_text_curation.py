@@ -105,3 +105,45 @@ def test_source_mix_hand_case(spark):
     assert (web["n_docs"], web["n_tokens"], web["n_unique_docs"]) == (3, 5, 2)
     books = got[("books", "de")]
     assert (books["n_docs"], books["n_tokens"], books["n_unique_docs"]) == (1, 3, 1)
+
+
+def test_group_quantiles_hand_cases(spark):
+    """1..10 -> quartiles (3, 5, 8) by the ceil(p*n) rank rule; a single
+    row is its own quartiles; tie runs return the tied value."""
+    from wikipedia_wikidata_spark.operators.stats import group_quantiles
+
+    rows = (
+        [("a", v) for v in range(1, 11)]
+        + [("b", 42)]
+        + [("c", 5), ("c", 5), ("c", 5), ("c", 1)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: (r["n_rows"], r["q_1_4"], r["q_2_4"], r["q_3_4"])
+        for r in group_quantiles(df, ["g"], "v").collect()
+    }
+    assert got["a"] == (10, 3, 5, 8)
+    assert got["b"] == (1, 42, 42, 42)
+    assert got["c"] == (4, 1, 5, 5)
+
+
+def test_rebalance_sources_caps_and_keeps_small(spark):
+    """Under-budget sources keep every doc (frac_e6 = 1e6); over-budget
+    sources keep a hash-selected subset at the integer keep fraction; the
+    keep set is plan-independent."""
+    from wikipedia_wikidata_spark.operators.sampling import rebalance_sources
+
+    rows = [(i, "w " * 100, "en", "big") for i in range(200)] + [
+        (1000 + i, "w w w", "en", "small") for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = rebalance_sources(df, 1000).collect()  # big has 20000 tokens
+    small = [r for r in out if r["source"] == "small"]
+    big = [r for r in out if r["source"] == "big"]
+    assert len(small) == 5 and all(r["frac_e6"] == 1000000 for r in small)
+    assert all(r["frac_e6"] == 50000 for r in big)  # 1000*1e6 // 20000
+    assert 0 < len(big) < 200  # a strict, hash-chosen subset
+    out2 = rebalance_sources(df.repartition(13), 1000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -226,3 +226,35 @@ def simhash(docs: DataFrame) -> DataFrame:
         )
         sh = term if sh is None else (sh + term)
     return g.select("doc_id", sh.alias("simhash32"))
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """Dedup a NEW crawl batch against an EXISTING corpus's persisted LSH
+    index — the incremental form of minhash_candidates: when fresh data
+    lands, only the batch is shingled/hashed; the old corpus contributes
+    nothing but its (doc_id, band_key) index table (lsh_bands output, a
+    natural catalog table maintained across crawls by appending each
+    accepted batch's bands).
+
+    Returns (doc_id, dup_of, n_index_matches) for each new doc sharing at
+    least one band with an indexed doc: dup_of = smallest matching indexed
+    doc_id (deterministic), n_index_matches = distinct indexed docs hit.
+
+    100-TB shape: cost is O(batch) for signatures plus ONE band_key
+    equi-join against the index — never O(corpus) re-hashing, never a
+    corpus self-join. Candidate volume is governed by the same banding
+    geometry as the batch dedup (16 perms, 4 bands x 4 rows)."""
+    nb = lsh_bands(minhash_signature(new_docs))
+    idx = index_bands.select(
+        F.col("doc_id").alias("_old_id"), "band_key"
+    )
+    return (
+        nb.join(idx, "band_key")
+        .groupBy("doc_id")
+        .agg(
+            F.min("_old_id").alias("dup_of"),
+            F.countDistinct("_old_id").alias("n_index_matches"),
+        )
+    )

@@ -105,3 +105,48 @@ def shard_shuffle(
     return (
         d.withColumn("pos", F.row_number().over(w).cast("bigint")).drop("_h")
     )
+
+
+def rebalance_sources(
+    docs: DataFrame,
+    max_tokens_per_source: int,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Token-budgeted source rebalancing — the mix-weighting step after the
+    source_mix report: downsample every source to at most ~max_tokens
+    whitespace tokens by a deterministic per-source keep fraction, leaving
+    under-budget sources intact.
+
+    keep iff hash60(seed:doc_id) mod 1e6 < frac_e6, where frac_e6 =
+    min(1e6, max_tokens*1e6 div source_tokens) in EXACT integer arithmetic
+    (no float fraction can disagree with the oracle's threshold). Returns
+    (doc_id, source, n_tokens, frac_e6) for kept docs.
+
+    100-TB shape: one map-side-combined groupBy over |sources| keys, a
+    BROADCAST join of that tiny stats table back onto the corpus, and a
+    narrow hash filter — the corpus is never shuffled."""
+    from pyspark.sql import functions as F
+
+    from .text import words_col
+
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(words_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    stats = d.groupBy("source").agg(F.sum("n_tokens").alias("_src_tokens"))
+    # compute the cap in PYTHON ints: lit(int)*lit(int) would be int32
+    # arithmetic on the JVM and 20000*1e6 overflows (ANSI mode throws)
+    cap = F.lit(int(max_tokens_per_source) * 1000000).cast("bigint")
+    exact = ((cap - F.pmod(cap, F.col("_src_tokens"))) / F.col("_src_tokens")).cast("bigint")
+    stats = stats.select(
+        "source", F.least(F.lit(1000000), exact).alias("frac_e6")
+    )
+    keep = (
+        d.join(F.broadcast(stats), "source")
+        .filter(
+            F.pmod(_sample_hash("doc_id", seed), F.lit(SAMPLE_MOD))
+            < F.col("frac_e6")
+        )
+    )
+    return keep.select("doc_id", "source", "n_tokens", "frac_e6")

@@ -918,3 +918,77 @@ SELECT source, lang,
        )}) AS BIGINT) AS n_unique_docs
 FROM documents
 GROUP BY source, lang"""
+
+
+TRAINING_ORACLES["events_sliding"] = """
+WITH s AS (
+  SELECT event_type, value, user_id,
+         CAST(floor(epoch(ts) / 1800.0) AS BIGINT) * 1800 AS s1
+  FROM events
+),
+x AS (
+  SELECT event_type, value, user_id, s1 - 1800 AS window_start FROM s
+  UNION ALL
+  SELECT event_type, value, user_id, s1 AS window_start FROM s
+)
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT) AS value_sum_e6,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY 1, 2"""
+
+
+def _doc_length_quantiles_sql() -> str:
+    """DuckDB twin of group_quantiles over documents: same rank formula
+    max(ceil(num*n/den), 1) in integer math."""
+    def pick(num: int, den: int) -> str:
+        return (
+            f"MAX(CASE WHEN rn = greatest(({num} * n + {den - 1}) // {den}, 1) "
+            f"THEN v END) AS q_{num}_{den}"
+        )
+
+    return f"""
+WITH r AS (
+  SELECT source, n_chars AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_rows,
+       {pick(1, 4)}, {pick(2, 4)}, {pick(3, 4)}
+FROM r GROUP BY source"""
+
+
+TRAINING_ORACLES["doc_length_quantiles"] = _doc_length_quantiles_sql()
+
+
+TRAINING_ORACLES["dedup_incremental"] = f"""WITH {minhash_ctes()}
+SELECT n.doc_id AS doc_id,
+       CAST(MIN(o.doc_id) AS BIGINT) AS dup_of,
+       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_index_matches
+FROM bands n JOIN bands o ON n.band_key = o.band_key
+WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000
+GROUP BY n.doc_id"""
+
+
+def _rebalance_sources_sql(max_tokens: int = 500) -> str:
+    """DuckDB twin of rebalance_sources: same integer frac_e6 and the same
+    hash threshold as hash_sample's oracle."""
+    h = hash60_sql("concat('42:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({words_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+stats AS (
+  SELECT source,
+         least(1000000, {max_tokens * 1000000} // sum(n_tokens)) AS frac_e6
+  FROM d GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_tokens, CAST(stats.frac_e6 AS BIGINT) AS frac_e6
+FROM d JOIN stats USING (source)
+WHERE {h} % 1000000 < stats.frac_e6"""
+
+
+TRAINING_ORACLES["rebalance_sources"] = _rebalance_sources_sql()

@@ -547,3 +547,80 @@ def q_source_mix(spark, sf_dir):
 
 
 TRAINING_QUERIES["source_mix"] = q_source_mix
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window event aggregation (1 h window / 30 min slide): each
+    event lands in exactly two windows (explode over the two starts —
+    length/slide = 2), then one grouped agg. Streaming twin:
+    streaming/events.py stream_sliding_counts (F.window with slide);
+    test_streaming_sliding_equals_batch pins stream == batch."""
+    from pyspark.sql import functions as F
+
+    _ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s1 = (F.floor(_epoch_seconds(F.col("ts")) / 1800.0) * 1800).cast("bigint")
+    d = ev.select(
+        "event_type",
+        "value",
+        "user_id",
+        F.explode(F.array(s1 - 1800, s1)).alias("window_start"),
+    )
+    return d.groupBy("event_type", "window_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.sum("value") * 1000000.0 + 0.5).cast("bigint").alias("value_sum_e6"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+TRAINING_QUERIES["events_sliding"] = q_events_sliding
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact per-source document-length quartiles (operators/stats.py
+    group_quantiles): curation reports read these before setting length
+    filters. Integer-rational quantile positions — bit-exact vs DuckDB."""
+    from .operators.stats import group_quantiles
+
+    return group_quantiles(
+        _docs(spark, sf_dir), ["source"], "n_chars"
+    )
+
+
+TRAINING_QUERIES["doc_length_quantiles"] = q_doc_length_quantiles
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a new batch against an existing corpus index
+    (operators/dedup.py incremental_minhash_dedup). The augmented corpus's
+    planted exact/near duplicates (doc_id >= 10^6) play the 'new crawl';
+    the originals play the already-indexed corpus — so every new doc SHOULD
+    hit the index, and the oracle checks exactly which and whom."""
+    from .operators.dedup import (
+        augment_docs,
+        incremental_minhash_dedup,
+        lsh_bands,
+        minhash_signature,
+    )
+    from pyspark.sql import functions as F
+
+    aug = augment_docs(_docs(spark, sf_dir))
+    index_docs = aug.filter(F.col("doc_id") < 1000000)
+    new_docs = aug.filter(F.col("doc_id") >= 1000000)
+    index_bands = lsh_bands(minhash_signature(index_docs))
+    return incremental_minhash_dedup(new_docs, index_bands)
+
+
+TRAINING_QUERIES["dedup_incremental"] = q_dedup_incremental
+
+
+def q_rebalance_sources(spark, sf_dir):
+    """Source rebalancing to a 20k-token-per-source budget
+    (operators/sampling.py rebalance_sources): integer-exact keep
+    fractions, broadcast stats join, narrow hash filter."""
+    from .operators.sampling import rebalance_sources
+
+    return rebalance_sources(_docs(spark, sf_dir), 500)
+
+
+TRAINING_QUERIES["rebalance_sources"] = q_rebalance_sources

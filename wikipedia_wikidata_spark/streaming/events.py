@@ -205,3 +205,54 @@ def run_stream_dedup(
     )
     q.awaitTermination()
     return spark.read.schema(DEDUP_OUT_SCHEMA).parquet(out_dir)
+
+
+def stream_sliding_counts(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h window, 30 min slide) per event_type
+    with a 10-minute watermark — the overlapping-window member of the
+    window family (tumbling/session/sliding). Each event belongs to exactly
+    length/slide = 2 windows; Spark expands that assignment inside the
+    stateful agg, and state stays watermark-bounded exactly like the
+    tumbling path. Batch twin: queries_training.q_events_sliding (same
+    epoch arithmetic, explode over the two window starts)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    withevent = src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    return (
+        withevent.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(
+            F.window("ts_ltz", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value") * 1000000.0 + 0.5).cast("bigint").alias("value_sum_e6"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum_e6",
+        )
+    )
+
+
+def run_sliding_available_now(
+    spark: SparkSession, input_dir: str, name: str
+) -> DataFrame:
+    """Drain the input through the sliding-window agg into a memory sink
+    (complete mode). TEST/ORACLE PATH ONLY — the scale path is the same
+    writeStream-parquet shape as run_stream_file_sink."""
+    q = (
+        stream_sliding_counts(spark, input_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
