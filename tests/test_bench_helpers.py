@@ -93,6 +93,107 @@ def test_scaling_clean_run_has_no_abort_keys(monkeypatch, capsys):
     assert len(out["samples"]) == 2 and out["value"] is not None
 
 
+def test_scaling_harvest_retries_polluted_pairs(monkeypatch, capsys):
+    """RETRY_PAIRS>0: a polluted leg voids only its pair; the session keeps
+    harvesting until the target pair count is reached. Orders must still
+    alternate AB,BA by COMPLETED pairs (drift cancellation), polluted legs
+    stay in the artifact stamped, and the retry count is recorded."""
+    import json
+
+    calls = []
+
+    def fake_leg(n, sf_dir):
+        calls.append(n)
+        # 3rd overall leg (first leg of the BA pair, n=8) is polluted once
+        steal = 20.0 if len(calls) == 3 else 0.5
+        t = 100.0 if n == 2 else 30.0
+        return {"t_spatial_sec": t, "docs_per_sec": 1000.0 / t,
+                "n_docs": 1000, "cpu_steal_pct": steal}
+
+    monkeypatch.setattr(bench, "_scaling_leg", fake_leg)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_MIN_CEILING", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_WIDE", "")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_BLOCKS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_RETRY_PAIRS", "2")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--scaling"])
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # AB(2,8) clean; BA starts 8 -> polluted -> retried as BA(8,2) clean
+    assert calls == [2, 8, 8, 8, 2]
+    assert "aborted" not in out
+    assert out["pairs_retried"] == 1
+    assert len(out["samples"]) == 2
+    assert [s["order"] for s in out["samples"]] == ["AB", "BA"]
+    assert out["value"] == round((100.0 / 30.0) / 4, 3)
+    polluted = [l for l in out["legs"] if l.get("polluted")]
+    assert len(polluted) == 1 and polluted[0]["cpu_steal_pct"] == 20.0
+    # drift ratio uses CLEAN lo legs only
+    assert out["lo_leg_drift_first_to_last"] == 1.0
+
+
+def test_scaling_harvest_exhausted_budget_keeps_pairs(monkeypatch, capsys):
+    """When the retry budget runs out the artifact self-labels aborted but
+    keeps every clean pair already harvested."""
+    import json
+
+    calls = []
+
+    def fake_leg(n, sf_dir):
+        calls.append(n)
+        steal = 20.0 if len(calls) >= 3 else 0.5
+        t = 100.0 if n == 2 else 30.0
+        return {"t_spatial_sec": t, "docs_per_sec": 1000.0 / t,
+                "n_docs": 1000, "cpu_steal_pct": steal}
+
+    monkeypatch.setattr(bench, "_scaling_leg", fake_leg)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_MIN_CEILING", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_WIDE", "")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_BLOCKS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_RETRY_PAIRS", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--scaling"])
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # AB clean, BA polluted (retry 1 spent), BA polluted again -> aborted
+    assert calls == [2, 8, 8, 8]
+    assert out["aborted"] == "leg cpu steal above threshold"
+    assert out["pairs_retried"] == 1
+    assert len(out["samples"]) == 1 and out["samples"][0]["order"] == "AB"
+
+
+def test_scaling_pair_ceiling_stamps_samples(monkeypatch, capsys):
+    """PAIR_CEILING=1: each sample carries the same-moment codegen ceiling
+    and its efficiency normalized by it; the artifact medians them."""
+    import json
+
+    def fake_leg(n, sf_dir):
+        t = 100.0 if n == 2 else 30.0
+        return {"t_spatial_sec": t, "docs_per_sec": 1000.0 / t,
+                "n_docs": 1000, "cpu_steal_pct": 0.4}
+
+    ceilings = iter([0.9, 0.85])
+    monkeypatch.setattr(bench, "_scaling_leg", fake_leg)
+    monkeypatch.setattr(bench, "_codegen_pair_ceiling",
+                        lambda lo, hi: (next(ceilings), {"2": 30.0, "8": 8.0}))
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_MIN_CEILING", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_WIDE", "")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_BLOCKS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_PAIR_CEILING", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--scaling"])
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    eff = round((100.0 / 30.0) / 4, 3)
+    assert [s["ceiling_same_moment"] for s in out["samples"]] == [0.9, 0.85]
+    assert out["samples"][0]["efficiency_over_ceiling"] == round(eff / 0.9, 3)
+    assert out["value_over_ceiling"] == round(statistics_median(
+        [round(eff / 0.9, 3), round(eff / 0.85, 3)]), 3)
+
+
+def statistics_median(xs):
+    import statistics
+
+    return statistics.median(xs)
+
+
 def _fake_suite_env(monkeypatch, suite_runs, steal_stamps, composite=16.0):
     """Wire run_bench's multi-run branch to canned suite passes + stamps."""
     import json
