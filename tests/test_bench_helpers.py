@@ -258,3 +258,69 @@ def test_cpu_counters_shape():
     assert c[2] >= c[1] >= 0 and c[0] >= 0
     c2 = bench._cpu_counters()
     assert c2[2] >= c[2]
+
+
+def test_analyze_scaling_reproduces_retake2_record():
+    """BENCH/analyze_scaling.py must derive, from the raw retake2 artifact,
+    exactly the numbers the BENCH/BASELINE.md narrative records for it:
+    median 0.72, lo-leg drift 1.179, hi-leg drift 0.889, and the
+    narrow/wide divergence those two imply — artifact -> claim without
+    trusting prose."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "analyze_scaling", "/root/repo/BENCH/analyze_scaling.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open("/root/repo/BENCH/scaling_round5_retake2.json") as f:
+        rec = json.load(f)
+    a = mod.analyze(rec)
+    assert a["median_efficiency"] == 0.72
+    assert a["pair_series"] == [0.618, 0.682, 0.751, 0.689, 0.783, 0.82]
+    assert a["best_pair"] == 0.82 and a["pairs_at_or_above_0.8"] == 1
+    assert a["lo_leg"]["drift_first_to_last"] == 1.179
+    assert a["hi_leg"]["drift_first_to_last"] == 0.889
+    assert a["divergence_lo_over_hi_drift"] == 1.326
+    # opposite-sign slopes ARE the retake2 divergence mode
+    assert a["lo_leg"]["slope_pct_per_hour"] > 0 > a["hi_leg"]["slope_pct_per_hour"]
+
+
+def test_analyze_scaling_harvest_fields():
+    """Harvest-protocol artifacts: polluted legs are excluded from trends,
+    ceiling-normalized efficiencies surface, and retry/abort labels pass
+    through."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "analyze_scaling", "/root/repo/BENCH/analyze_scaling.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rec = {
+        "headline_pair": "2,8",
+        "value": 0.75,
+        "value_over_ceiling": 0.9,
+        "pairs_retried": 1,
+        "samples": [
+            {"block": 1, "order": "AB", "efficiency": 0.7,
+             "ceiling_same_moment": 0.875, "efficiency_over_ceiling": 0.8},
+            {"block": 1, "order": "BA", "efficiency": 0.8,
+             "ceiling_same_moment": 0.8, "efficiency_over_ceiling": 1.0},
+        ],
+        "legs": [
+            {"n": 2, "t_spatial_sec": 100.0, "at_min": 0.0, "cpu_steal_pct": 0.5},
+            {"n": 8, "t_spatial_sec": 30.0, "at_min": 5.0, "cpu_steal_pct": 0.5},
+            {"n": 8, "t_spatial_sec": 31.0, "at_min": 10.0, "cpu_steal_pct": 9.0,
+             "polluted": True},
+            {"n": 8, "t_spatial_sec": 29.0, "at_min": 15.0, "cpu_steal_pct": 0.5},
+            {"n": 2, "t_spatial_sec": 110.0, "at_min": 20.0, "cpu_steal_pct": 0.5},
+        ],
+    }
+    a = mod.analyze(rec)
+    assert a["median_eff_over_ceiling"] == 0.9
+    assert a["ceiling_series"] == [0.875, 0.8]
+    assert a["pairs_retried"] == 1 and a["polluted_legs"] == 1
+    # the polluted 31.0 s hi leg must not enter the trend
+    assert a["hi_leg"]["legs"] == 2
+    assert a["hi_leg"]["t_first_s"] == 30.0 and a["hi_leg"]["t_last_s"] == 29.0
+    assert a["lo_leg"]["drift_first_to_last"] == 1.1
