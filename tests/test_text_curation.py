@@ -147,3 +147,26 @@ def test_rebalance_sources_caps_and_keeps_small(spark):
     assert 0 < len(big) < 200  # a strict, hash-chosen subset
     out2 = rebalance_sources(df.repartition(13), 1000).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_unigram_surprisal_hand_case(spark):
+    """Corpus 'the'x5 'cat'x1 'dog'x1 (T=7), vocab_k=2 -> vocab {the, cat}
+    ((n desc, token asc) order), 'dog' OOV. Surprisal: the=floor(log2(7//5))=0,
+    cat=floor(log2(7))=2, dog(OOV)=floor(log2(14))=3."""
+    from wikipedia_wikidata_spark.operators.text import unigram_surprisal
+
+    df = _docs_df(spark, ["the the the the", "the cat", "dog"])
+    got = {r["doc_id"]: r.asDict() for r in unigram_surprisal(df, 2).collect()}
+    assert (got[0]["n_tokens"], got[0]["sum_surprisal"]) == (4, 0)
+    assert got[0]["avg_surprisal_milli"] == 0
+    assert (got[1]["n_tokens"], got[1]["sum_surprisal"]) == (2, 2)
+    assert got[1]["avg_surprisal_milli"] == 1000
+    assert (got[2]["n_tokens"], got[2]["sum_surprisal"]) == (1, 3)
+    assert got[2]["avg_surprisal_milli"] == 3000
+    # scale shape: vocab + scalar-total joins are both broadcast, no Python
+    out = unigram_surprisal(df, 2)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

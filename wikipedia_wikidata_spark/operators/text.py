@@ -350,3 +350,52 @@ def source_mix(docs: DataFrame) -> DataFrame:
         F.sum("_tok").alias("n_tokens"),
         F.countDistinct("_fp").alias("n_unique_docs"),
     )
+
+
+def unigram_surprisal(docs: DataFrame, vocab_k: int = 4096) -> DataFrame:
+    """Per-document unigram surprisal score — the perplexity-proxy quality
+    signal of a training-data curation pass (low = common-token/repetitive
+    text, high = rare-token-heavy or out-of-vocabulary gibberish), with the
+    language model derived from the corpus itself (no external data, cf.
+    the CCNet/Gopher-style LM-quality filters).
+
+    Metric, chosen to be EXACT on both engines (no transcendental float —
+    Java's log and C++'s log may differ in the last ulp, which would flake
+    a value-hash parity check): per-token surprisal is the integer
+    floor(log2(T div n(token))) computed as length(bin(q)) - 1, where
+    T = corpus token count and n = token frequency; tokens outside the
+    top-``vocab_k`` vocabulary (count desc, token asc — total order, token
+    unique) take the OOV floor floor(log2(2T)). Per-doc sum is an int64
+    SUM (order-invariant), avg is fixed-point (1000*sum) div n_tokens.
+
+    Scale shape at 10^12 docs: one explode + map-side-combined groupBy for
+    the counts; TakeOrdered(vocab_k) for the vocabulary (per-partition
+    top-k + a k-row driver merge, no global sort); scoring joins the token
+    stream against the BROADCAST k-row vocab and the broadcast 1-row total
+    (scalar-max pattern, no collect), then one groupBy(doc_id). Two
+    shuffles total on the big side. Docs with zero whitespace tokens have
+    no surprisal and are absent from the output (documented invariant;
+    the oracle groups over the same exploded stream)."""
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t_total"))
+    vocab = counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_k)
+    q = F.expr("t_total div n")
+    oov_q = F.col("t_total") * 2
+    surprisal = F.when(
+        F.col("n").isNotNull(), F.length(F.bin(q)) - 1
+    ).otherwise(F.length(F.bin(oov_q)) - 1).cast("bigint")
+    scored = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", surprisal.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("s").cast("bigint").alias("sum_surprisal"),
+        F.expr("1000 * sum(s) div count(1)").cast("bigint").alias(
+            "avg_surprisal_milli"
+        ),
+    )

@@ -992,3 +992,33 @@ WHERE {h} % 1000000 < stats.frac_e6"""
 
 
 TRAINING_ORACLES["rebalance_sources"] = _rebalance_sources_sql()
+
+
+def _unigram_surprisal_sql(vocab_k: int = 256) -> str:
+    """DuckDB twin of unigram_surprisal: same integer-exact
+    floor(log2) via length(bin(.)) - 1, same (n DESC, token ASC)
+    vocabulary total order (token unique in counts), same integer
+    fixed-point average. Zero-token docs absent on both engines
+    (unnest of an empty list emits no rows; Spark explode likewise)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+total AS (SELECT sum(n) AS t_total FROM counts),
+vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT {vocab_k}),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN v.n IS NOT NULL
+              THEN length(bin(tt.t_total // v.n)) - 1
+              ELSE length(bin(tt.t_total * 2)) - 1 END AS s
+  FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN total tt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(s) AS BIGINT) AS sum_surprisal,
+       CAST(1000 * sum(s) // count(*) AS BIGINT) AS avg_surprisal_milli
+FROM scored GROUP BY doc_id"""
+
+
+TRAINING_ORACLES["unigram_surprisal"] = _unigram_surprisal_sql()

@@ -624,3 +624,15 @@ def q_rebalance_sources(spark, sf_dir):
 
 
 TRAINING_QUERIES["rebalance_sources"] = q_rebalance_sources
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Per-document unigram surprisal (corpus-derived LM quality proxy,
+    operators/text.py unigram_surprisal). vocab_k=256 so the sf0.01 corpus
+    exercises BOTH the in-vocab div path and the OOV floor."""
+    from .operators.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir), vocab_k=256)
+
+
+TRAINING_QUERIES["unigram_surprisal"] = q_unigram_surprisal
