@@ -176,3 +176,56 @@ def test_boilerplate_all_dropped_digests_null(spark):
     )
     out = drop_boilerplate_spans(docs).collect()
     assert all(r.n_kept == 0 and r.kept_md5 is None for r in out)
+
+
+def test_duplicate_window_spans_hand_case(spark):
+    """k=3 windows: docs 0/1 share 'a b c' and 'b c d' at offset-shifted
+    positions; the within-doc-only repeat in doc 2 must NOT appear
+    (distinct-doc df threshold); doc 3 is too short for any window."""
+    from wikipedia_wikidata_spark.operators.dedup import duplicate_window_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "x a b c d"),
+            (2, "q q q q q q"),
+            (3, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["n_docs"])
+        for r in duplicate_window_spans(df, k=3).collect()
+    }
+    assert got == {(0, 0, 2), (0, 1, 2), (1, 1, 2), (1, 2, 2)}
+
+
+def test_duplicate_window_spans_copies_fully_covered(spark):
+    """A planted exact copy duplicates EVERY window of its original — the
+    cut list covers the full token range of both on the small corpus."""
+    from wikipedia_wikidata_spark.operators.dedup import (
+        WINDOW_K,
+        augment_docs,
+        duplicate_window_spans,
+    )
+    from wikipedia_wikidata_spark.operators.text import words_col
+
+    docs = augment_docs(
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    )
+    spans = duplicate_window_spans(docs)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in spans.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    lens = {
+        r["doc_id"]: r["dl"]
+        for r in docs.select(
+            "doc_id", F.size(words_col(F.col("text"))).alias("dl")
+        ).collect()
+    }
+    copies = [d for d in lens if 1000000 <= d < 2000000 and lens[d] >= WINDOW_K]
+    assert copies
+    for d in copies:
+        n_windows = lens[d] - WINDOW_K + 1
+        assert per_doc.get(d, 0) >= n_windows, d

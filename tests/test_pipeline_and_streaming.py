@@ -573,3 +573,81 @@ def test_streaming_sliding_equals_batch(spark, tmp_path_factory):
     # overlap sanity: sliding rows ~= 2x the 30-min tumbling group count
     n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert sum(r[2] for r in a) == 2 * n_events
+
+
+def _attrib_batch(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts_ltz").alias("v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ltz").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("user_id"),
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+    )
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path_factory):
+    """Stream-stream watermarked inner join on a closed input == the batch
+    theta-join, both single-batch and across four time-ordered micro-batches
+    (the multi-batch leg proves watermark state eviction never drops a row
+    that could still match)."""
+    from wikipedia_wikidata_spark.queries_training import _ensure_utc
+    from wikipedia_wikidata_spark.streaming.events import (
+        run_attribution_available_now,
+    )
+
+    _ensure_utc(spark)
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in _attrib_batch(spark, sf).collect()}
+    assert len(want) > 0
+
+    d1 = tmp_path_factory.mktemp("attrib_one")
+    shutil.copy(f"{sf}/events.parquet", str(d1 / "part-0.parquet"))
+    got1 = {
+        tuple(r)
+        for r in run_attribution_available_now(spark, str(d1), "t_attrib1").collect()
+    }
+    assert got1 == want
+
+    # four time-ordered files, one per micro-batch: the join must buffer
+    # open views across batches and evict only watermark-dead state
+    ev = spark.read.parquet(f"{sf}/events.parquet").orderBy("ts").collect()
+    d2 = tmp_path_factory.mktemp("attrib_multi")
+    n = len(ev)
+    for i in range(4):
+        chunk = ev[i * n // 4 : (i + 1) * n // 4]
+        spark.createDataFrame(chunk, spark.read.parquet(f"{sf}/events.parquet").schema) \
+            .coalesce(1).write.parquet(str(d2 / f"in_{i}"))
+    import glob
+    import os
+    dst = tmp_path_factory.mktemp("attrib_multi_in")
+    for i in range(4):
+        src = glob.glob(str(d2 / f"in_{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, str(dst / f"part-{i}.parquet"))
+    got2 = {
+        tuple(r)
+        for r in run_attribution_available_now(
+            spark, str(dst), "t_attrib2", max_files_per_trigger=1
+        ).collect()
+    }
+    assert got2 == want

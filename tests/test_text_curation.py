@@ -170,3 +170,75 @@ def test_unigram_surprisal_hand_case(spark):
     )
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_bm25_hand_case(spark):
+    """Tiny corpus where the exact integer milli-scores are hand-derivable:
+    doc 0 matches 'spark' twice in 4 tokens, doc 1 once in 2, doc 2 never.
+    N=3, l_total=9, df(spark)=2 -> idf_w = floor(log2(7000//5)) = 10; the
+    per-doc scores follow the operator's documented closed formula, mirrored
+    in the local score() helper below."""
+    from wikipedia_wikidata_spark.operators.index import bm25_topk
+
+    docs = _docs_df(
+        spark, ["spark a spark b", "spark c", "x y z"]
+    )
+    got = {r["doc_id"]: r for r in bm25_topk(docs, ("spark",), 10).collect()}
+    assert set(got) == {0, 1}
+
+    def score(tf, dl, n, l_total, df):
+        idf_w = len(bin((1000 * (2 * n + 1)) // (2 * df + 1))) - 2 - 1
+        return idf_w * (
+            (1000 * (44 * tf * l_total))
+            // (20 * tf * l_total + 6 * l_total + 18 * dl * n)
+        )
+
+    n, lt, df_ = 3, 9, 2
+    assert got[0]["score_milli"] == score(2, 4, n, lt, df_)
+    assert got[1]["score_milli"] == score(1, 2, n, lt, df_)
+    assert got[0]["n_terms"] == 1 and got[1]["n_terms"] == 1
+    # tf saturation with idf equal: the 2-of-4 doc must outrank 1-of-2
+    assert got[0]["score_milli"] > got[1]["score_milli"]
+
+
+def test_bm25_topk_deterministic_and_bounded(spark):
+    """Top-k is a total order (score DESC, doc_id ASC): same result under
+    different partitionings; every hit matched >=1 term; k bounds rows."""
+    from wikipedia_wikidata_spark.operators.index import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = bm25_topk(docs.repartition(3), k=7).collect()
+    b = bm25_topk(docs.repartition(17, "doc_id"), k=7).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert 0 < len(a) <= 7
+    scores = [r["score_milli"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_terms"] >= 1 for r in a)
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Planted exact duplicates (augment_docs doc_id%10 copies) MUST land in
+    the same split as their original; eval share lands near the requested
+    permille; output covers every input row exactly once."""
+    from wikipedia_wikidata_spark.operators.dedup import augment_docs
+    from wikipedia_wikidata_spark.operators.sampling import leakage_safe_split
+
+    docs = augment_docs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    got = leakage_safe_split(docs, eval_permille=250).collect()
+    assert len(got) == docs.count()
+    by_fp = {}
+    for r in got:
+        by_fp.setdefault(r["fingerprint60"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fp.values()), "a fingerprint group straddles splits"
+    # planted copies share the original's fingerprint -> same split
+    by_doc = {r["doc_id"]: r for r in got}
+    for doc_id, r in by_doc.items():
+        if 1000000 <= doc_id < 2000000:
+            orig = by_doc[doc_id - 1000000]
+            assert r["fingerprint60"] == orig["fingerprint60"]
+            assert r["split"] == orig["split"]
+    n_eval_groups = sum(1 for fp, s in by_fp.items() if "eval" in s)
+    frac = n_eval_groups / len(by_fp)
+    assert 0.15 < frac < 0.35, frac

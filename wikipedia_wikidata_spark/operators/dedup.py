@@ -258,3 +258,52 @@ def incremental_minhash_dedup(
             F.countDistinct("_old_id").alias("n_index_matches"),
         )
     )
+
+
+WINDOW_K = 8  # tokens per duplicated-substring detection window
+
+
+def duplicate_window_spans(
+    docs: DataFrame, k: int = WINDOW_K, min_docs: int = 2
+) -> DataFrame:
+    """Substring-LEVEL exact duplication detection (the Lee et al.
+    "Deduplicating Training Data" primitive, window-hash form): hash every
+    k-token window of every document and emit the windows whose hash occurs
+    in >= ``min_docs`` DISTINCT documents — the spans a substring-dedup
+    pass would cut, at token resolution, without any suffix array.
+
+    Output: (doc_id, start_tok, gram60, n_docs) — one row per duplicated
+    window occurrence, start_tok = 0-based token offset. A window repeated
+    only WITHIN one document is not emitted (within-doc repetition is
+    text.repetition_stats / spans.dedup_spans territory; this operator is
+    the cross-document cut list).
+
+    100-TB shape: the window stream is a narrow per-row expansion (~dl rows
+    per doc, same order as tokenization itself); the frequency step is ONE
+    map-side-combined groupBy on the 60-bit hash, and the cut-list join is
+    a plain equi-join on the same key. Boilerplate mega-grams (the skewed
+    keys) are exactly the rows the df-threshold keeps, so the second join's
+    hot keys are bounded by the emitted cut list; salt gram60 like
+    pip_join's cell key if one gram dominates (same measured-salt pattern).
+    No pair enumeration anywhere — candidate volume is linear in the number
+    of duplicated occurrences, not quadratic in docs sharing a gram."""
+    from .text import hash60_col, words_col
+
+    w = words_col(F.col("text"))
+    idx = F.when(
+        F.size(w) >= k, F.sequence(F.lit(0), F.size(w) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: hash60_col(F.concat_ws(" ", F.slice(w, i + 1, k)))
+    )
+    occ = docs.select(
+        "doc_id", F.posexplode(grams).alias("start_tok", "gram60")
+    ).select("doc_id", F.col("start_tok").cast("bigint").alias("start_tok"), "gram60")
+    freq = (
+        occ.groupBy("gram60")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return occ.join(freq, "gram60").select(
+        "doc_id", "start_tok", "gram60", "n_docs"
+    )

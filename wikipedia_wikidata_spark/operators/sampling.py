@@ -150,3 +150,37 @@ def rebalance_sources(
         )
     )
     return keep.select("doc_id", "source", "n_tokens", "frac_e6")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    eval_permille: int = 100,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Leakage-safe train/eval split: the split decision is keyed on the
+    NORMALIZED-CONTENT fingerprint (the dedup family's hash60 of
+    lower/punct-stripped text), not on doc_id — so every exact or
+    trivially-reformatted copy of a document lands in the SAME split by
+    construction. A doc_id-keyed split would scatter a duplicated document
+    across train and eval and leak the eval set into training; splitting by
+    content group is the standard fix (cf. dedup-before-split in LLM data
+    curation). Near-dups beyond normalization are handled upstream by the
+    dedup keepers; this operator guarantees the exact-content class.
+
+    Output: (doc_id, fingerprint60, split) for every input row, split in
+    {'train','eval'} with P(eval) = eval_permille/1000 over fingerprint
+    groups (not documents — a mega-duplicated page counts once).
+
+    100-TB shape: two md5 expressions per row, zero shuffles, zero joins —
+    a narrow map that composes with any scan. Deterministic under retries,
+    resumes, and repartitioning (same contract as hash_sample)."""
+    norm = F.lower(F.regexp_replace("text", "[^A-Za-z0-9 ]", " "))
+    fp = hash60_col(norm)
+    h = hash60_col(F.concat(F.lit(f"{seed}:split:"), fp.cast("string")))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint60"),
+        F.when(F.pmod(h, F.lit(1000)) < eval_permille, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1022,3 +1022,98 @@ FROM scored GROUP BY doc_id"""
 
 
 TRAINING_ORACLES["unigram_surprisal"] = _unigram_surprisal_sql()
+
+
+def _bm25_sql(
+    terms: tuple[str, ...] = ("spark", "join", "window", "stream", "vector"),
+    k: int = 50,
+) -> str:
+    """DuckDB twin of operators/index.bm25_topk: same quantized idf
+    (length(bin((1000*(2N+1)) // (2*df+1))) - 1), same rational
+    tf-saturation in integer milli-units, same (score DESC, doc_id ASC)
+    total order under the LIMIT."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({words_sql('text')}) AS BIGINT) AS dl FROM documents
+),
+tot AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS l_total,
+         CAST(count(*) AS BIGINT) AS n_docs FROM d
+),
+toks AS (SELECT doc_id, unnest({words_sql('text')}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE token IN ({in_list}) GROUP BY 1, 2
+),
+dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         (length(bin((1000 * (2 * t.n_docs + 1)) // (2 * x.df + 1))) - 1)
+         * ((1000 * (44 * tf.tf * t.l_total)) //
+            (20 * tf.tf * t.l_total + 6 * t.l_total + 18 * d.dl * t.n_docs))
+         AS s
+  FROM tf JOIN dfx x USING (token) JOIN d USING (doc_id) CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(s) AS BIGINT) AS score_milli
+FROM scored GROUP BY doc_id
+ORDER BY score_milli DESC, doc_id ASC LIMIT {k}"""
+
+
+TRAINING_ORACLES["bm25_search"] = _bm25_sql()
+
+
+def _leakage_split_sql(eval_permille: int = 100, seed: int = 42) -> str:
+    """DuckDB twin of operators/sampling.leakage_safe_split over the
+    augmented corpus: split keyed on hash60(seed:split:fingerprint60) so
+    identical normalized content lands in one split on both engines."""
+    fp = hash60_sql(
+        "lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g'))"
+    )
+    h = hash60_sql(f"concat('{seed}:split:', CAST({fp} AS VARCHAR))")
+    return f"""WITH {AUG}
+SELECT doc_id, {fp} AS fingerprint60,
+       CASE WHEN {h} % 1000 < {eval_permille}
+            THEN 'eval' ELSE 'train' END AS split
+FROM aug"""
+
+
+TRAINING_ORACLES["leakage_split"] = _leakage_split_sql()
+
+
+def _dup_window_sql(k: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin of operators/dedup.duplicate_window_spans over the
+    augmented corpus: same 0-based window starts, same hash60 of the
+    space-joined k-token window, same distinct-doc df threshold."""
+    gram = hash60_sql(f"array_to_string(ws[i+1:i+{k}], ' ')")
+    return f"""WITH {AUG},
+w AS (SELECT doc_id, {words_sql('text')} AS ws FROM aug),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(ws)-{k}+1, 0)),
+                i -> {{'p': i, 'h': {gram}}})) AS s
+  FROM w
+),
+e AS (SELECT doc_id, CAST(s.p AS BIGINT) AS start_tok, s.h AS gram60 FROM g),
+f AS (
+  SELECT gram60, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT e.doc_id, e.start_tok, e.gram60, f.n_docs
+FROM e JOIN f USING (gram60)"""
+
+
+TRAINING_ORACLES["dedup_window_spans"] = _dup_window_sql()
+
+
+# stream-stream attribution join: on a closed input the watermarked
+# streaming join equals this batch theta-join row-for-row
+TRAINING_ORACLES["events_attribution"] = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS delay_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 6 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'"""

@@ -636,3 +636,68 @@ def q_unigram_surprisal(spark, sf_dir):
 
 
 TRAINING_QUERIES["unigram_surprisal"] = q_unigram_surprisal
+
+
+def q_bm25_search(spark, sf_dir):
+    """Integer-exact BM25 top-k keyword retrieval (operators/index.py):
+    lexical search over the corpus for eval-set mining and targeted
+    decontamination. Quantized-idf x rational tf-saturation milli-scores —
+    bit-exact vs the DuckDB twin; the (score DESC, doc_id ASC) total order
+    makes the LIMIT deterministic on both engines."""
+    from .operators.index import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
+TRAINING_QUERIES["bm25_search"] = q_bm25_search
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/eval split keyed on the normalized-content
+    fingerprint (operators/sampling.leakage_safe_split): exact-content
+    duplicate groups land in one split by construction. Zero-shuffle
+    narrow map; split over the augmented corpus so planted duplicates
+    exercise the same-group guarantee at driver time."""
+    from .operators.dedup import augment_docs
+    from .operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(augment_docs(_docs(spark, sf_dir)))
+
+
+TRAINING_QUERIES["leakage_split"] = q_leakage_split
+
+
+def q_events_attribution(spark, sf_dir):
+    """Stream-STREAM watermarked inner join (view -> same-user purchase
+    within 6 h) drained with Trigger.AvailableNow — on a closed input it
+    equals the batch theta-join, so the batch SQL is its oracle
+    (streaming/events.stream_stream_attribution)."""
+    import os
+    import uuid
+
+    from .queries import _tmpdir
+    from .streaming.events import run_attribution_available_now
+
+    _ensure_utc(spark)
+    d = _tmpdir("wws_attrib_in_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    name = "attrib_" + uuid.uuid4().hex[:8]
+    return run_attribution_available_now(spark, d, name)
+
+
+TRAINING_QUERIES["events_attribution"] = q_events_attribution
+
+
+def q_dedup_window_spans(spark, sf_dir):
+    """Substring-level exact-dup detection (operators/dedup.py
+    duplicate_window_spans): duplicated 8-token windows across the
+    augmented corpus (planted full/truncated copies make the cut list
+    non-trivial). Integer-exact: 60-bit window hashes + counts."""
+    from .operators.dedup import augment_docs, duplicate_window_spans
+
+    return duplicate_window_spans(augment_docs(_docs(spark, sf_dir)))
+
+
+TRAINING_QUERIES["dedup_window_spans"] = q_dedup_window_spans

@@ -256,3 +256,98 @@ def run_sliding_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+ATTRIB_OUT_SCHEMA = (
+    "view_id long, purchase_id long, user_id long, delay_us long"
+)
+ATTRIB_WINDOW_S = 6 * 3600
+
+
+def stream_stream_attribution(
+    spark: SparkSession,
+    input_dir: str,
+    window_s: int = ATTRIB_WINDOW_S,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition — the
+    attribution query (each 'view' joined to every same-user 'purchase'
+    within the following ``window_s`` seconds), the one streaming join
+    shape the engine was missing (stream-static enrichment landed in r4).
+
+    Both sides carry watermarks and the join predicate bounds purchase
+    time to [view_ts, view_ts + window], so Spark's symmetric hash join
+    keeps PROVABLY BOUNDED state: buffered views are evicted once the
+    watermark passes view_ts + window (no future purchase can match), and
+    buffered purchases once the watermark passes their own timestamp. On a
+    closed, time-ordered input the drained result equals the batch
+    theta-join exactly — the batch SQL is the oracle. Inner join emits on
+    match (no watermark wait), so availableNow drains are complete.
+
+    100-TB shape: one shuffle per side on user_id; state is
+    O(events-per-watermark-horizon), independent of stream length."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    base = src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts_ltz").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_ltz").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {window_s} SECONDS")
+        ),
+        "inner",
+    )
+    return j.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+        .cast("bigint")
+        .alias("delay_us"),
+    )
+
+
+def run_attribution_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    name: str,
+    **kwargs,
+) -> DataFrame:
+    """Drain the stream-stream attribution join into a memory sink (append
+    mode — the only mode stream-stream joins support). TEST/ORACLE PATH
+    ONLY; the durable path is the same writeStream-parquet +
+    checkpointLocation shape as run_stream_file_sink."""
+    q = (
+        stream_stream_attribution(spark, input_dir, **kwargs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
