@@ -1086,13 +1086,16 @@ def _dup_window_sql(k: int = 8, min_docs: int = 2) -> str:
     """DuckDB twin of operators/dedup.duplicate_window_spans over the
     augmented corpus: same 0-based window starts, same hash60 of the
     space-joined k-token window, same distinct-doc df threshold."""
-    gram = hash60_sql(f"array_to_string(ws[i+1:i+{k}], ' ')")
+    # outer lambda var MUST NOT be `i`: hash60_sql's own hex-digit fold uses
+    # `i -> ...`, and DuckDB resolves the innermost binding, so an outer `i`
+    # would be shadowed and the window slice would go constant per document
+    gram = hash60_sql(f"array_to_string(ws[wi+1:wi+{k}], ' ')")
     return f"""WITH {AUG},
 w AS (SELECT doc_id, {words_sql('text')} AS ws FROM aug),
 g AS (
   SELECT doc_id,
          unnest(list_transform(range(0, greatest(len(ws)-{k}+1, 0)),
-                i -> {{'p': i, 'h': {gram}}})) AS s
+                wi -> {{'p': wi, 'h': {gram}}})) AS s
   FROM w
 ),
 e AS (SELECT doc_id, CAST(s.p AS BIGINT) AS start_tok, s.h AS gram60 FROM g),
