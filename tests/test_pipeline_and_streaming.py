@@ -641,9 +641,18 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path_factory):
     import glob
     import os
     dst = tmp_path_factory.mktemp("attrib_multi_in")
+    # FileStreamSource picks files oldest-mtime-first; sequential copies can
+    # land on the same mtime tick, leaving the tie order to the filesystem
+    # (ext4 readdir is hash-ordered). A purchase chunk processed BEFORE its
+    # view chunk arrives watermark-late and is dropped — observed as a rare
+    # full-suite-only flake. Pin strictly-increasing mtimes so micro-batch
+    # order == time order, which is the contract the oracle equality assumes.
+    base_mtime = os.stat(str(dst)).st_mtime
     for i in range(4):
         src = glob.glob(str(d2 / f"in_{i}" / "part-*.parquet"))[0]
-        shutil.copy(src, str(dst / f"part-{i}.parquet"))
+        tgt = str(dst / f"part-{i}.parquet")
+        shutil.copy(src, tgt)
+        os.utime(tgt, (base_mtime + i, base_mtime + i))
     got2 = {
         tuple(r)
         for r in run_attribution_available_now(
