@@ -660,3 +660,98 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got2 == want
+
+
+def test_stream_merge_to_catalog_exactly_once(spark, tmp_path_factory):
+    """foreachBatch MERGE into the versioned catalog: multi-epoch drain
+    equals one batch aggregation bit-for-bit (per-event e6 quantization is
+    associative); a REPLAYED epoch no-ops on its committed fingerprint; a
+    restart with new files merges only the delta; untouched day partitions
+    carry over."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_spark.sources.catalog import Catalog
+    from wikipedia_wikidata_spark.streaming.events import (
+        run_stream_merge_to_catalog,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tmp_path_factory.mktemp("stream_merge")
+    in_dir, cat_root, ck_dir = root / "in", root / "cat", root / "ck"
+    in_dir.mkdir()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), str(in_dir / "part-0.parquet"))
+    pq.write_table(t.slice(third, third), str(in_dir / "part-1.parquet"))
+    os.utime(str(in_dir / "part-0.parquet"), (1000000000, 1000000000))
+    os.utime(str(in_dir / "part-1.parquet"), (1000000001, 1000000001))
+
+    got1 = run_stream_merge_to_catalog(
+        spark, str(in_dir), str(cat_root), "totals", str(ck_dir)
+    )
+
+    def agg(rows):
+        ev = spark.createDataFrame(rows.to_pandas())
+        return {
+            (r["day"], r["event_type"]): (r["n_events"], r["value_sum_e6"])
+            for r in ev.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                F.floor(F.col("value") * 1000000.0 + 0.5)
+                .cast("bigint")
+                .alias("_e6"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("_e6").cast("bigint").alias("value_sum_e6"),
+            )
+            .collect()
+        }
+
+    as_map = lambda df: {  # noqa: E731
+        (r["day"], r["event_type"]): (r["n_events"], r["value_sum_e6"])
+        for r in df.collect()
+    }
+    assert as_map(got1) == agg(t.slice(0, 2 * third))
+
+    cat = Catalog(str(cat_root))
+    v_before = cat.current_version("totals")
+    assert v_before >= 2  # one commit per non-empty epoch
+
+    # replay: re-deliver the LAST committed epoch under its ORIGINAL
+    # batch_id (crash between catalog commit and checkpoint commit) — the
+    # fingerprint check must no-op, version unchanged
+    from wikipedia_wikidata_spark.streaming.events import (
+        make_catalog_merge_batch_fn,
+    )
+
+    last_fp = cat.manifest("totals")["fingerprint"]
+    last_epoch = int(last_fp.rsplit("=", 1)[1])
+    replay_df = spark.createDataFrame(t.slice(third, third).to_pandas())
+    make_catalog_merge_batch_fn(spark, cat, "totals")(replay_df, last_epoch)
+    assert cat.current_version("totals") == v_before, "replayed epoch re-applied"
+
+    # re-running the whole drain with the same checkpoint and no new files
+    # must also not commit anything
+    got_rerun = run_stream_merge_to_catalog(
+        spark, str(in_dir), str(cat_root), "totals", str(ck_dir)
+    )
+    assert cat.current_version("totals") == v_before
+    assert as_map(got_rerun) == as_map(got1)
+
+    # restart with a third file: only the new delta merges; totals now equal
+    # the batch aggregation over ALL input
+    pq.write_table(t.slice(2 * third), str(in_dir / "part-2.parquet"))
+    os.utime(str(in_dir / "part-2.parquet"), (1000000002, 1000000002))
+    got2 = run_stream_merge_to_catalog(
+        spark, str(in_dir), str(cat_root), "totals", str(ck_dir)
+    )
+    assert as_map(got2) == agg(t)
+    # the final merge's manifest records only the days the delta touched
+    m = cat.manifest("totals")
+    assert m.get("merge_touched_partitions") or m.get("extra", {}).get(
+        "merge_touched_partitions"
+    )

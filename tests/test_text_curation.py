@@ -242,3 +242,69 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     n_eval_groups = sum(1 for fp, s in by_fp.items() if "eval" in s)
     frac = n_eval_groups / len(by_fp)
     assert 0.15 < frac < 0.35, frac
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _cls_w(bucket: int) -> int:
+    return _h60(f"w:{bucket}") % 2001 - 1000
+
+
+def test_classifier_score_hand_case(spark):
+    """Features of 'a b c' are [a, b, c, 'a b', 'b c']; score is the sum of
+    the hash-derived weights of their buckets, replicated here in pure
+    Python md5. Empty text scores 0 with keep=false."""
+    from wikipedia_wikidata_spark.operators.text import (
+        N_CLS_BUCKETS,
+        classifier_score,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in classifier_score(_docs_df(spark, ["a b c", ""])).collect()
+    }
+    feats = ["a", "b", "c", "a b", "b c"]
+    want = sum(_cls_w(_h60(t) % N_CLS_BUCKETS) for t in feats)
+    assert out[0]["n_feats"] == 5
+    assert out[0]["score_sum"] == want
+    assert out[0]["keep"] == (want > 0)
+    assert out[1]["n_feats"] == 0
+    assert out[1]["score_sum"] == 0 and out[1]["keep"] is False
+
+
+def test_classifier_score_inline_is_narrow(spark):
+    """Inline-weights shape is a pure map: zero Exchange, zero Python eval
+    in the plan (the whole classifier pipelines inside one codegen stage)."""
+    from wikipedia_wikidata_spark.operators.text import classifier_score
+
+    out = classifier_score(_docs_df(spark, ["x y z"] * 10))
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_classifier_score_join_shape_matches_inline(spark):
+    """The broadcast weight-table shape (the at-scale form for a learned
+    vector) returns row-identical results to the inline shape, and its plan
+    actually broadcasts the weight side."""
+    from wikipedia_wikidata_spark.operators.text import (
+        classifier_score,
+        classifier_weights,
+    )
+
+    texts = ["alpha beta gamma", "", "one", "alpha alpha alpha beta",
+             "zz yy xx ww vv uu tt"]
+    docs = _docs_df(spark, texts)
+    w = classifier_weights(spark)
+    joined = classifier_score(docs, weights=w)
+    p = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" in p, p
+    a = sorted(map(tuple, classifier_score(docs).collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b

@@ -1120,3 +1120,43 @@ FROM events v JOIN events p
  AND p.ts > v.ts
  AND p.ts <= v.ts + INTERVAL 6 HOUR
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'"""
+
+
+def _classifier_score_sql() -> str:
+    """DuckDB twin of classifier_score (inline-weights shape): same
+    hash60 feature buckets, same hash-derived integer weights in
+    [-1000, 1000], same int64 sum; empty feature lists score 0."""
+    w = words_sql("text")
+    bucket = f"{hash60_sql('t')} % 4096"
+    weight = f"{hash60_sql(chr(39) + 'w:' + chr(39) + ' || CAST(bk AS VARCHAR)')} % 2001 - 1000"
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_concat({w}, {shingles_sql(w, 2)}) AS feats
+  FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+         list_transform(feats, t -> {bucket}) AS buckets
+  FROM base
+),
+s AS (
+  SELECT doc_id, n_feats,
+         CAST(coalesce(list_sum(list_transform(buckets, bk -> {weight})), 0)
+              AS BIGINT) AS score_sum
+  FROM b
+)
+SELECT doc_id, n_feats, score_sum, score_sum > 0 AS keep FROM s"""
+
+
+TRAINING_ORACLES["classifier_score"] = _classifier_score_sql()
+
+
+# streaming foreachBatch MERGE running totals: per-event e6 quantization is
+# associative, so the epoch-folded catalog table equals this one-shot batch
+# aggregation bit-for-bit on any micro-batch chopping
+TRAINING_ORACLES["events_merge_upsert"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_sum_e6
+FROM events GROUP BY 1, 2"""

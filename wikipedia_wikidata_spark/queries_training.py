@@ -701,3 +701,41 @@ def q_dedup_window_spans(spark, sf_dir):
 
 
 TRAINING_QUERIES["dedup_window_spans"] = q_dedup_window_spans
+
+
+def q_classifier_score(spark, sf_dir):
+    """fastText-style hashed-n-gram linear classifier inference
+    (operators/text.py classifier_score, inline-weights zero-shuffle
+    shape; the broadcast weight-table shape is parity-pinned in
+    tests/test_text_curation.py)."""
+    from .operators.text import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir))
+
+
+TRAINING_QUERIES["classifier_score"] = q_classifier_score
+
+
+def q_events_merge_upsert(spark, sf_dir):
+    """Streaming foreachBatch MERGE into the versioned catalog
+    (streaming/events.run_stream_merge_to_catalog): per-event e6
+    quantization makes epoch-folded totals equal one batch aggregation
+    bit-for-bit, so the batch SQL is the oracle regardless of how
+    availableNow chops the input (4 input files, 1 file per trigger)."""
+    import os
+    import uuid
+
+    from .queries import _tmpdir
+    from .streaming.events import run_stream_merge_to_catalog
+
+    _ensure_utc(spark)
+    d = _tmpdir("wws_evmerge_in_")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    name = "ev_totals_" + uuid.uuid4().hex[:8]
+    return run_stream_merge_to_catalog(
+        spark, d, _tmpdir("wws_evmerge_cat_"), name, _tmpdir("wws_evmerge_ck_")
+    )
+
+
+TRAINING_QUERIES["events_merge_upsert"] = q_events_merge_upsert
