@@ -1160,3 +1160,71 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_sum_e6
 FROM events GROUP BY 1, 2"""
+
+
+def _distinct_tokens_kmv_sql() -> str:
+    """DuckDB twin of distinct_kmv over per-language tokens: same distinct
+    hash60 set, same min-64 rank, same floor division — DuckDB does the
+    >64-bit numerator (63 * 2^60) in HUGEINT where Spark uses decimal(38,0)
+    with a subtract-remainder exact floor."""
+    w = words_sql("text")
+    h = hash60_sql("tok")
+    return f"""
+WITH words AS (
+  SELECT lang, unnest({w}) AS tok FROM documents
+),
+d AS (SELECT DISTINCT lang AS grp, {h} AS h FROM words),
+rk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM d
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_min_hash
+  FROM rk WHERE rn <= 64 GROUP BY grp
+)
+SELECT grp AS lang, n_kept, kth_min_hash,
+       CASE WHEN n_kept < 64 THEN n_kept
+            ELSE CAST(CAST('72634054790231359488' AS HUGEINT) // kth_min_hash AS BIGINT)
+       END AS est_distinct
+FROM agg"""
+
+
+TRAINING_ORACLES["distinct_tokens_kmv"] = _distinct_tokens_kmv_sql()
+
+
+def _sample_weighted_sql() -> str:
+    h = hash60_sql("'42:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang, source, n_chars,
+       CAST({h} // greatest(n_chars, 1) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 50"""
+
+
+TRAINING_ORACLES["sample_weighted"] = _sample_weighted_sql()
+
+
+# snapshot CDC: v1/v2 derived by the same deterministic doc_id filters the
+# Spark query commits as real catalog versions; full-outer diff by key
+TRAINING_ORACLES["snapshot_cdc"] = """
+WITH v1 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 19 <> 7
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 11 = 3 AND doc_id % 5 = 0
+)
+SELECT CASE WHEN v1.doc_id IS NULL THEN 'insert'
+            WHEN v2.doc_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       coalesce(v2.doc_id, v1.doc_id) AS doc_id,
+       CASE WHEN v2.doc_id IS NULL THEN v1.text ELSE v2.text END AS text
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+   OR v1.text IS DISTINCT FROM v2.text"""

@@ -739,3 +739,67 @@ def q_events_merge_upsert(spark, sf_dir):
 
 
 TRAINING_QUERIES["events_merge_upsert"] = q_events_merge_upsert
+
+
+def q_distinct_tokens_kmv(spark, sf_dir):
+    """Per-language distinct-token cardinality via the mergeable KMV
+    sketch (operators/sketches.distinct_kmv): k=64 minimum hash60 values
+    per language; integer-exact estimate, exact below k."""
+    from .operators.sketches import distinct_kmv
+    from .operators.text import words_col
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "lang", F.explode(words_col(F.col("text"))).alias("tok")
+    )
+    return distinct_kmv(words, "lang", "tok")
+
+
+TRAINING_QUERIES["distinct_tokens_kmv"] = q_distinct_tokens_kmv
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted document sampling: k=50 docs by smallest
+    hash60(seed:doc_id) div n_chars priority — selection monotone in
+    length-weight, stable under retries/partitioning
+    (operators/sketches.sample_weighted)."""
+    from .operators.sketches import sample_weighted
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return sample_weighted(docs, "doc_id", "n_chars", 50)
+
+
+TRAINING_QUERIES["sample_weighted"] = q_sample_weighted
+
+
+def q_snapshot_cdc(spark, sf_dir):
+    """Iceberg-changelog CDC between two catalog snapshots
+    (sources/catalog.Catalog.snapshot_diff): v1/v2 of a documents table
+    derived by deterministic doc_id filters (deletes: id%19==7; updates:
+    id%17==2 get ' [rev2]' appended; inserts: id%11==3 and id%5==0),
+    committed as real time-travel versions, then diffed by key."""
+    from .queries import _tmpdir
+    from .sources.catalog import Catalog
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    m = F.col("doc_id")
+    v1 = docs.filter(m % 11 != 3)
+    v2 = (
+        docs.filter((m % 11 != 3) & (m % 19 != 7))
+        .select(
+            "doc_id",
+            F.when(
+                m % 17 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(docs.filter((m % 11 == 3) & (m % 5 == 0)))
+    )
+    cat = Catalog(_tmpdir("wws_cdc_"))
+    cat.write(spark, v1, "docs", "cdc:v1", "r1")
+    cat.write(spark, v2, "docs", "cdc:v2", "r2")
+    return cat.snapshot_diff(spark, "docs", ["doc_id"], 1, 2)
+
+
+TRAINING_QUERIES["snapshot_cdc"] = q_snapshot_cdc

@@ -514,3 +514,65 @@ class Catalog:
     def drop(self, name: str) -> None:
         if os.path.exists(self.path(name)):
             shutil.rmtree(self.path(name))
+
+    def snapshot_diff(
+        self,
+        spark: SparkSession,
+        name: str,
+        key_cols: list[str],
+        v_from: int,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """Iceberg changelog (CDC) analog: the row-level changes between two
+        committed snapshots, as (change, *key_cols, *value_cols) with
+        change in {'insert','delete','update'} — the post-image for
+        insert/update, the pre-image for delete. Downstream incremental
+        consumers (index refresh, cache invalidation, replication) read
+        this instead of re-scanning the table.
+
+        Plan shape: one full-outer sort-merge/hash join on the key columns
+        (both sides shuffle-partitioned the same way, so the join
+        co-locates) + null-safe value comparison; unchanged keys drop out.
+        No collects, no windows — at 10^12 rows the cost is the two
+        snapshot scans plus one co-partitioned join, and when the table is
+        partition_by'd the consumer can pre-filter both sides to the
+        partitions a manifest marks as touched (`merge_touched_partitions`)
+        before joining.
+        """
+        old = self.read(spark, name, v_from)
+        new = self.read(spark, name, v_to)
+        val_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *key_cols,
+            F.lit(True).alias("_in_old"),
+            *[F.col(c).alias(f"_old_{c}") for c in val_cols],
+        )
+        n = new.select(
+            *key_cols,
+            F.lit(True).alias("_in_new"),
+            *[F.col(c).alias(f"_new_{c}") for c in val_cols],
+        )
+        j = o.join(n, on=key_cols, how="full_outer")
+        changed = F.lit(False)
+        for c in val_cols:
+            changed = changed | ~F.col(f"_new_{c}").eqNullSafe(
+                F.col(f"_old_{c}")
+            )
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+        )
+        out_vals = [
+            F.when(
+                F.col("_in_new").isNull(), F.col(f"_old_{c}")
+            )
+            .otherwise(F.col(f"_new_{c}"))
+            .alias(c)
+            for c in val_cols
+        ]
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select("change", *key_cols, *out_vals)
+        )
