@@ -54,8 +54,10 @@ def _ols_slope(xs: list[float], ys: list[float]) -> float:
 
 
 def _width_trend(legs: list[dict], n: int) -> dict | None:
-    """Drift + OLS slope for one leg width, clean legs only."""
-    ws = [l for l in legs if l.get("n") == n and not l.get("polluted")]
+    """Drift + OLS slope for one leg width, clean legs only (warmup legs
+    are deliberately slow — cold page cache — and excluded like polluted)."""
+    ws = [l for l in legs if l.get("n") == n and not l.get("polluted")
+          and not l.get("warmup")]
     if len(ws) < 2 or not all("at_min" in l for l in ws):
         return None
     ts = [l["t_spatial_sec"] for l in ws]

@@ -439,6 +439,26 @@ def main():
                 raise _Polluted
             return r
 
+        # Discarded warmup legs (round-5 fresh-boot lesson): the codegen
+        # warm pass inside each leg warms JIT, not the OS page cache over
+        # the ~2M-doc sf4 input — a session's very FIRST narrow leg on a
+        # cold host ran 12% slower than the session band and inflated its
+        # pair's efficiency to a not-counted 0.855. One discarded leg at
+        # EACH width before block 1 pre-faults the input once per width so
+        # every counted leg starts page-warm. Stamped warmup=true in the
+        # artifact, excluded from samples, drift and width-trend stats.
+        warmup_legs = int(os.environ.get(
+            "SPARK_GRAFT_SCALING_WARMUP_LEGS", "0"))
+        for _ in range(warmup_legs):
+            for n in (n_lo, n_hi):
+                r = _scaling_leg(n, sf_dir)
+                r["n"] = n
+                r["at_min"] = round((time.time() - t0) / 60.0, 1)
+                r["warmup"] = True
+                if _leg_polluted(r, max_leg_steal):
+                    r["polluted"] = True  # visibility only; discarded anyway
+                legs.append(r)
+
         samples = []
 
         def pair(b: int, tag: str, tl: dict, th: dict,
@@ -505,7 +525,8 @@ def main():
                 continue
             pair(idx // 2, tag, tl, th, ceil_now)
         lo_times = [r["t_spatial_sec"] for r in legs
-                    if r["n"] == n_lo and not r.get("polluted")]
+                    if r["n"] == n_lo and not r.get("polluted")
+                    and not r.get("warmup")]
         out = {
             "metric": "scaling_efficiency", "unit": "ratio", "sf_dir": sf_dir,
             "parts": int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "192")),
@@ -514,6 +535,8 @@ def main():
                 f"{blocks}; per-pair efficiencies from time-adjacent legs"
                 + ("; polluted pairs retried" if retry_budget else "")
                 + ("; per-pair codegen ceiling" if per_pair_ceiling else "")
+                + (f"; {warmup_legs} discarded warmup leg(s)"
+                   if warmup_legs else "")
             ),
             "headline_pair": f"{n_lo},{n_hi}",
             "value": (round(statistics.median(
@@ -522,7 +545,7 @@ def main():
             "legs": [
                 {k: r[k] for k in
                  ("n", "t_spatial_sec", "docs_per_sec", "at_min",
-                  "cpu_steal_pct", "polluted") if k in r}
+                  "cpu_steal_pct", "polluted", "warmup") if k in r}
                 for r in legs
             ],
             "codegen_ceiling_same_day": ceiling,

@@ -194,6 +194,54 @@ def statistics_median(xs):
     return statistics.median(xs)
 
 
+def test_scaling_warmup_legs_discarded(monkeypatch, capsys):
+    """WARMUP_LEGS=1: one discarded leg per width runs before block 1
+    (page-cache warm, fresh-boot lesson), is stamped warmup=true in the
+    artifact, and is excluded from samples, the drift ratio, and the
+    analyzer's width-trend stats — a deliberately slow warmup leg must
+    never inflate a counted pair."""
+    import json
+
+    calls = []
+
+    def fake_leg(n, sf_dir):
+        calls.append(n)
+        # first leg at each width (the warmups) is 40% slower: cold cache
+        slow = 1.4 if calls.count(n) == 1 else 1.0
+        t = (100.0 if n == 2 else 30.0) * slow
+        return {"t_spatial_sec": t, "docs_per_sec": 1000.0 / t,
+                "n_docs": 1000, "cpu_steal_pct": 0.4}
+
+    monkeypatch.setattr(bench, "_scaling_leg", fake_leg)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_MIN_CEILING", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_WIDE", "")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_BLOCKS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_WARMUP_LEGS", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--scaling"])
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # warmup pair (2,8) then the ABBA block's AB(2,8) + BA(8,2)
+    assert calls == [2, 8, 2, 8, 8, 2]
+    warmups = [l for l in out["legs"] if l.get("warmup")]
+    assert [l["n"] for l in warmups] == [2, 8]
+    assert warmups[0]["t_spatial_sec"] == 140.0  # slow leg kept, labeled
+    # counted samples use only the fast post-warmup legs
+    assert len(out["samples"]) == 2
+    assert all(s["efficiency"] == round((100.0 / 30.0) / 4, 3)
+               for s in out["samples"])
+    # drift ratio over clean NON-warmup lo legs only (100, 100 -> 1.0)
+    assert out["lo_leg_drift_first_to_last"] == 1.0
+    assert "1 discarded warmup leg(s)" in out["protocol"]
+    # analyzer excludes warmup legs from the width trend
+    sys.path.insert(0, "/root/repo/BENCH")
+    import analyze_scaling
+
+    trend = analyze_scaling.analyze(out)
+    assert trend["lo_leg"]["legs"] == 2
+    assert trend["lo_leg"]["t_first_s"] == 100.0
+    assert trend["hi_leg"]["legs"] == 2
+
+
 def _fake_suite_env(monkeypatch, suite_runs, steal_stamps, composite=16.0):
     """Wire run_bench's multi-run branch to canned suite passes + stamps."""
     import json
