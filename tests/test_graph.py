@@ -142,12 +142,18 @@ def test_registry_window_contents():
     for required in (
         "dedup_clusters", "pagerank_links", "contamination",
         "training_corpus_keep", "pack_documents", "media_context",
+        # final round-5 rotation
+        "bpe_merges", "contrastive_pairs", "spatial_cluster",
     ):
         assert required in first50, required
     for post in (
         "extract_page", "extract_wd_page", "emb_cosine_topk",
         "geo_earth_wikidata", "article_full", "redirect_full",
         "spans_boilerplate",
+        # displaced by the final round-5 rotation (semantics transit the
+        # green othercounts / wikidata_places rows)
+        "extract_langlinks", "extract_sitelinks", "extract_places",
+        "bpe_vocab_segment",
     ):
         assert post in names and post not in first50, post
     assert len(names) >= 52
@@ -297,3 +303,50 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_hits_hand_case(spark):
+    """1->3, 2->3: after one L1-normalized iteration hubs are {1: S/2,
+    2: S/2, 3: 0} and the sole authority is 3 at full scale; further
+    iterations are stable. Exact integer expectations — no tolerance."""
+    from wikipedia_wikidata_spark.operators.graph import HITS_SCALE, hits
+
+    edges = spark.createDataFrame(
+        [("en", 1, 3), ("en", 2, 3)], "language string, src bigint, dst bigint"
+    )
+    out = {r.node: (r.hub_fp, r.auth_fp) for r in hits(edges, iters=3).collect()}
+    assert out == {
+        1: (HITS_SCALE // 2, 0),
+        2: (HITS_SCALE // 2, 0),
+        3: (0, HITS_SCALE),
+    }
+
+
+def test_hits_l1_mass_conserved(spark):
+    """On the real resolved graph both score vectors sum to ~SCALE per
+    language (floor loss < n_nodes)."""
+    from tests.conftest import SF_DIR
+    from wikipedia_wikidata_spark.operators.extract import extract_views_shared
+    from wikipedia_wikidata_spark.config import LANGUAGES
+    from wikipedia_wikidata_spark.operators.graph import (
+        HITS_SCALE,
+        hits,
+        link_edges,
+    )
+    from pyspark.sql import functions as F
+
+    v = extract_views_shared(spark, SF_DIR, LANGUAGES)
+    h = hits(link_edges(v))
+    stats = (
+        h.groupBy("language")
+        .agg(
+            F.sum("hub_fp").alias("sh"),
+            F.sum("auth_fp").alias("sa"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert HITS_SCALE - r.n <= r.sh <= HITS_SCALE, (r.language, r.sh)
+        assert HITS_SCALE - r.n <= r.sa <= HITS_SCALE, (r.language, r.sa)

@@ -392,3 +392,111 @@ def pagerank_titles(v: dict[str, DataFrame], iters: int = PR_ITERS) -> DataFrame
         "title",
         F.expr("rank_fp div 1000000").alias("rank_e9"),
     )
+
+
+HITS_ITERS = 3
+HITS_SCALE = 10**9
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) per independent
+    `language` subgraph — the second member of the link-analysis family
+    next to pagerank, sharing its edge resolution and its exactness
+    contract.
+
+    edges: (language, src, dst), deduplicated. Returns (language, node,
+    hub_fp, auth_fp) at scale HITS_SCALE with L1 normalization per
+    iteration: h = A·a then a = Aᵀ·h, each rescaled so Σ = SCALE.
+
+    Integer-exact cross-engine: raw sums are int64-bounded (auth/hub values
+    ≤ SCALE after each normalization, so a raw sum ≤ SCALE·deg), the
+    normalization numerator raw·SCALE is computed in decimal(38,0)
+    (DuckDB HUGEINT twin) and floored with the subtract-remainder idiom
+    from operators/sketches.py — Spark decimal `/` rounds HALF_UP at the
+    result scale, so a plain divide could round past the integer DuckDB's
+    `//` floors to. Sums of integers are order-invariant: bit-equal at any
+    partitioning.
+
+    100-TB shape: two map-side-combined shuffles per iteration (groupBy on
+    src then dst) plus an |L|-row broadcast normalization join (the
+    scalar-max pattern — no collect in the data path); nodes/edges are
+    localCheckpointed once like pagerank (production: catalog snapshots).
+    """
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select("language", F.col("src").alias("node"))
+        .unionByName(edges.select("language", F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scale_dec = F.lit(str(HITS_SCALE)).cast("decimal(38,0)")
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        # raw: (language, node, raw) int64 -> (language, node, fp) with
+        # Σ fp ≈ SCALE via exact decimal floor division
+        s = raw.groupBy("language").agg(
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("s")
+        )
+        num = F.col("raw").cast("decimal(38,0)") * scale_dec
+        fp = ((num - F.pmod(num, F.col("s"))) / F.col("s")).cast("bigint")
+        return (
+            raw.join(F.broadcast(s), "language")
+            .select(
+                "language",
+                "node",
+                F.when(F.col("s") > 0, fp).otherwise(F.lit(0)).alias("fp"),
+            )
+        )
+
+    auth = nodes.select("language", "node", F.lit(HITS_SCALE).alias("fp"))
+    hub = None
+    for _ in range(iters):
+        h_raw = (
+            edges.join(
+                auth.select("language", F.col("node").alias("dst"), "fp"),
+                ["language", "dst"],
+            )
+            .groupBy("language", F.col("src").alias("node"))
+            .agg(F.sum("fp").alias("raw"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, ["language", "node"], "left").select(
+                "language", "node", F.coalesce("raw", F.lit(0)).alias("raw")
+            )
+        )
+        a_raw = (
+            edges.join(
+                hub.select("language", F.col("node").alias("src"), "fp"),
+                ["language", "src"],
+            )
+            .groupBy("language", F.col("dst").alias("node"))
+            .agg(F.sum("fp").alias("raw"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, ["language", "node"], "left").select(
+                "language", "node", F.coalesce("raw", F.lit(0)).alias("raw")
+            )
+        )
+    return (
+        hub.select("language", "node", F.col("fp").alias("hub_fp"))
+        .join(
+            auth.select("language", "node", F.col("fp").alias("auth_fp")),
+            ["language", "node"],
+        )
+    )
+
+
+def hits_titles(v: dict[str, DataFrame], iters: int = HITS_ITERS) -> DataFrame:
+    """HITS joined back to page titles: (language, title, hub_e6, auth_e6)
+    — exact integer projections (div 10^3) of the exact fixed-point
+    values, zero float-boundary tail risk (the pagerank_titles contract)."""
+    h = hits(link_edges(v), iters=iters)
+    pg = v["page"].select(
+        "language", F.col("page_id").alias("node"), F.col("page_title").alias("title")
+    )
+    return h.join(pg, ["language", "node"]).select(
+        "language",
+        "title",
+        F.expr("hub_fp div 1000").alias("hub_e6"),
+        F.expr("auth_fp div 1000").alias("auth_e6"),
+    )

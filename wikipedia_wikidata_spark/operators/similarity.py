@@ -321,24 +321,14 @@ def augment_emb(emb: DataFrame) -> DataFrame:
     return base.unionByName(exact).unionByName(pert)
 
 
-def emb_near_dup(
-    emb: DataFrame,
-    t: float = NEAR_DUP_T,
-    n_planes: int | None = None,
-    n_tables: int = N_TABLES,
+def _lsh_candidate_cosines(
+    b: DataFrame, n_planes: int, n_tables: int
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: multi-table data-dependent LSH
-    blocking (same geometry rationale as ann_lsh_topk — bucket population
-    tracks TARGET_BUCKET at any corpus size, and T independent tables keep
-    recall high for true >=t pairs as n_planes grows with N, where the
-    round-1 single fixed-8-plane table would lose them), then exact cosine
-    within the DISTINCT candidate union, thresholded at t.
-    Output (vec_a, vec_b, cosine_e6)."""
-    b = augment_emb(emb)
-    if n_planes is None:
-        # geometry derives from the BASE corpus size (mirrorable from the
-        # parquet footer by the DuckDB oracle without counting aug rows)
-        n_planes = n_planes_for(emb.count())
+    """Shared candidate stage of emb_near_dup / contrastive_pairs:
+    multi-table LSH bucketing of the (augmented) vector table, DISTINCT
+    same-bucket pair union, exact cosine per candidate. Returns
+    (vec_a, vec_b, _cos) — cartesian-free by construction (band-key
+    equi-join only)."""
     tb = F.explode(
         F.array(*[
             F.struct(
@@ -364,15 +354,84 @@ def emb_near_dup(
     eb = b.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("_eb"))
     j = pairs.join(ea, "vec_a").join(eb, "vec_b")
     cos = _dot(F.col("_ea"), F.col("_eb")) / (_norm(F.col("_ea")) * _norm(F.col("_eb")))
+    return j.withColumn("_cos", cos).select("vec_a", "vec_b", "_cos")
+
+
+def emb_near_dup(
+    emb: DataFrame,
+    t: float = NEAR_DUP_T,
+    n_planes: int | None = None,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table data-dependent LSH
+    blocking (same geometry rationale as ann_lsh_topk — bucket population
+    tracks TARGET_BUCKET at any corpus size, and T independent tables keep
+    recall high for true >=t pairs as n_planes grows with N, where the
+    round-1 single fixed-8-plane table would lose them), then exact cosine
+    within the DISTINCT candidate union, thresholded at t.
+    Output (vec_a, vec_b, cosine_e6)."""
+    b = augment_emb(emb)
+    if n_planes is None:
+        # geometry derives from the BASE corpus size (mirrorable from the
+        # parquet footer by the DuckDB oracle without counting aug rows)
+        n_planes = n_planes_for(emb.count())
+    j = _lsh_candidate_cosines(b, n_planes, n_tables)
     return (
-        j.withColumn("_cos", cos)
-        .filter(F.col("_cos") >= t)
+        j.filter(F.col("_cos") >= t)
         .select(
             "vec_a",
             "vec_b",
             F.floor(F.col("_cos") * 1000000.0 + 0.5).cast("bigint").alias("cosine_e6"),
         )
     )
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    t_pos_e6: int = 900000,
+    t_neg_e6: int = 500000,
+    negs_per_anchor: int = 3,
+    n_planes: int | None = None,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (SimCSE /
+    CLIP-style): from the SAME LSH candidate stage as emb_near_dup, emit
+    (vec_a, vec_b, cosine_e6, label) where label='pos' for candidate pairs
+    with cosine >= t_pos (the alignment targets) and label='hard_neg' for
+    the top `negs_per_anchor` most-similar pairs at or below t_neg — pairs
+    that collide in hash space yet are dissimilar, exactly the negatives
+    a contrastive loss learns most from. Mid-band pairs are dropped
+    (ambiguous supervision).
+
+    100-TB shape: candidate generation is the bucketed equi-join
+    (cartesian-free, plan-asserted in tests); the per-anchor ranking
+    window runs over bucket-bounded candidate sets (~TARGET_BUCKET x
+    n_tables rows per anchor), never over the corpus. Thresholds and the
+    ranking key use the ROUNDED integer cosine_e6, so the boundary and the
+    (cosine_e6 DESC, vec_b ASC) tie-break are bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    b = augment_emb(emb)
+    if n_planes is None:
+        n_planes = n_planes_for(emb.count())
+    j = _lsh_candidate_cosines(b, n_planes, n_tables).select(
+        "vec_a",
+        "vec_b",
+        F.floor(F.col("_cos") * 1000000.0 + 0.5).cast("bigint").alias("cosine_e6"),
+    )
+    pos = j.filter(F.col("cosine_e6") >= t_pos_e6).select(
+        "vec_a", "vec_b", "cosine_e6", F.lit("pos").alias("label")
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cosine_e6").desc(), F.col("vec_b").asc()
+    )
+    neg = (
+        j.filter(F.col("cosine_e6") <= t_neg_e6)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= negs_per_anchor)
+        .select("vec_a", "vec_b", "cosine_e6", F.lit("hard_neg").alias("label"))
+    )
+    return pos.unionByName(neg)
 
 
 def ann_lsh_topk(

@@ -630,3 +630,112 @@ ORACLES["pagerank_links"] = _pagerank_oracle()
 
 def sanity_check_levels() -> None:
     assert len(PLACE_TYPE_LEVELS) >= 5
+
+
+def _spatial_cluster_oracle(res: int = 6, min_pts: int = 2) -> str:
+    """DuckDB twin of operators/spatial.grid_density_clusters over
+    entity_points: dense res-`res` cells (>= min_pts points), 8-neighbor
+    adjacency, recursive-CTE connected components seeded from EVERY dense
+    cell (so singleton dense cells label themselves), min-node cluster
+    labels. Adjacency here is the direct abs-diff theta join — the oracle
+    mirrors SEMANTICS, not the Spark plan's shifted-key equi-join."""
+    from .functions.cells import CELL_RES_BITS, x_sql, y_sql
+
+    bits = CELL_RES_BITS[res]
+    return (
+        "WITH RECURSIVE "
+        + base_ctes()
+        + f""",
+gcells AS (
+  SELECT {x_sql('lon', bits)} AS cx, {y_sql('lat', bits)} AS cy,
+         CAST(count(*) AS BIGINT) AS n_pts
+  FROM entity_points GROUP BY 1, 2 HAVING count(*) >= {min_pts}
+),
+gdense AS (SELECT cx, cy, n_pts, cx * {1 << 29} + cy AS node FROM gcells),
+gund AS (
+  SELECT a.node AS src, b.node AS dst FROM gdense a JOIN gdense b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.node <> b.node
+),
+gwalk(node, label) AS (
+  SELECT node, node FROM gdense
+  UNION
+  SELECT e.dst, w.label FROM gwalk w JOIN gund e ON e.src = w.node
+),
+gcomp AS (SELECT node, MIN(label) AS component FROM gwalk GROUP BY node)
+SELECT g.component AS cluster, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.n_pts) AS BIGINT) AS n_points
+FROM gdense d JOIN gcomp g ON d.node = g.node
+GROUP BY 1"""
+    )
+
+
+ORACLES["spatial_cluster"] = _spatial_cluster_oracle()
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-iteration HITS mirroring operators/graph.hits
+    term-for-term: same edge resolution as pagerank, L1 normalization per
+    half-step with the raw·SCALE numerator in HUGEINT and `//` floor —
+    the Spark side computes the identical floor via decimal(38,0)
+    subtract-remainder (sketches.py idiom). Integer sums order-invariant:
+    bit-equal at any scale."""
+    from .operators.graph import HITS_ITERS, HITS_SCALE
+
+    S = HITS_SCALE
+    ctes = [f""",
+edges AS MATERIALIZED (
+  SELECT DISTINCT p.language, p.pl_from AS src, pg.page_id AS dst
+  FROM pagelink p
+  JOIN linktarget lt ON lt.language = p.language AND lt.lt_id = p.pl_target_id
+  JOIN page pg ON pg.language = p.language AND pg.page_title = lt.lt_title
+  WHERE p.pl_from <> pg.page_id
+),
+pr_nodes AS MATERIALIZED (
+  SELECT language, src AS node FROM edges
+  UNION
+  SELECT language, dst FROM edges
+),
+a0 AS (SELECT language, node, CAST({S} AS BIGINT) AS fp FROM pr_nodes)"""]
+
+    def half(i: int, out: str, src_vec: str, edge_key: str, grp_key: str) -> str:
+        # ONE materialized CTE per half-step, normalization via a window
+        # SUM — a separate per-language sum CTE would be referenced twice
+        # and DuckDB inlines CTEs by default, doubling the whole prior
+        # chain's evaluation per half-step (measured: 6 half-steps hung;
+        # this shape runs in seconds)
+        return f""",
+{out} AS MATERIALIZED (
+  SELECT language, node,
+         CASE WHEN ssum > 0
+              THEN CAST((CAST(raw AS HUGEINT) * {S}) // ssum AS BIGINT)
+              ELSE 0 END AS fp
+  FROM (
+    SELECT n.language, n.node, COALESCE(x.raw, 0) AS raw,
+           SUM(CAST(COALESCE(x.raw, 0) AS HUGEINT))
+             OVER (PARTITION BY n.language) AS ssum
+    FROM pr_nodes n LEFT JOIN (
+      SELECT e.language, e.{grp_key} AS node, SUM(v.fp) AS raw
+      FROM edges e
+      JOIN {src_vec} v ON v.language = e.language AND v.node = e.{edge_key}
+      GROUP BY 1, 2
+    ) x ON x.language = n.language AND x.node = n.node
+  )
+)"""
+
+    for i in range(1, HITS_ITERS + 1):
+        # hubs from previous auths: h(u) = sum over u->v of a(v)
+        ctes.append(half(i, f"h{i}", f"a{i - 1}", "dst", "src"))
+        # auths from the new hubs: a(v) = sum over u->v of h(u)
+        ctes.append(half(i, f"a{i}", f"h{i}", "src", "dst"))
+    k = HITS_ITERS
+    final = f"""
+SELECT h.language, pg.page_title AS title,
+       CAST(h.fp // 1000 AS BIGINT) AS hub_e6,
+       CAST(a.fp // 1000 AS BIGINT) AS auth_e6
+FROM h{k} h
+JOIN a{k} a ON a.language = h.language AND a.node = h.node
+JOIN page pg ON pg.language = h.language AND pg.page_id = h.node"""
+    return q("".join(ctes) + final)
+
+
+ORACLES["hits_links"] = _hits_oracle()

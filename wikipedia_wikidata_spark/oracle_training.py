@@ -166,10 +166,11 @@ SELECT doc_a, doc_b, CAST(floor(_jac * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
 FROM v WHERE _jac >= {t}"""
 
 
-def emb_near_dup_sql(t: float = 0.9, sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """Multi-table data-dependent LSH-blocked embedding-cosine near-dup
-    pairs with planted dups (mirrors operators/similarity.py augment_emb +
-    emb_near_dup; geometry derived from the base parquet footer)."""
+def _lsh_cosine_ctes(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Shared CTE chain of emb_near_dup_sql / contrastive_pairs_sql:
+    augmented vectors, multi-table LSH buckets, DISTINCT candidate pairs,
+    exact float cosine per candidate (alias j(vec_a, vec_b, _cos)).
+    Mirrors operators/similarity.py _lsh_candidate_cosines exactly."""
     from .operators.similarity import N_TABLES, n_planes_for, plane_weights
 
     n_planes = n_planes_for(embeddings_rows(sf_dir))
@@ -191,7 +192,7 @@ def emb_near_dup_sql(t: float = 0.9, sf_dir: str = "/root/testdata/sf0.01") -> s
     dot = dot_sql("ea.emb_d", "eb.emb_d")
     na = f"sqrt({dot_sql('ea.emb_d', 'ea.emb_d')})"
     nb = f"sqrt({dot_sql('eb.emb_d', 'eb.emb_d')})"
-    return f"""WITH base AS (
+    return f"""base AS (
   SELECT vec_id, {_emb_d()} AS emb_d FROM embeddings
 ),
 aug AS (
@@ -213,9 +214,44 @@ j AS (
   FROM cand
   JOIN aug ea ON cand.vec_a = ea.vec_id
   JOIN aug eb ON cand.vec_b = eb.vec_id
-)
+)"""
+
+
+def emb_near_dup_sql(t: float = 0.9, sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Multi-table data-dependent LSH-blocked embedding-cosine near-dup
+    pairs with planted dups (mirrors operators/similarity.py augment_emb +
+    emb_near_dup; geometry derived from the base parquet footer)."""
+    return f"""WITH {_lsh_cosine_ctes(sf_dir)}
 SELECT vec_a, vec_b, CAST(floor(_cos * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
 FROM j WHERE _cos >= {t}"""
+
+
+def contrastive_pairs_sql(
+    t_pos_e6: int = 900000,
+    t_neg_e6: int = 500000,
+    negs_per_anchor: int = 3,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """DuckDB twin of operators/similarity.contrastive_pairs: same LSH
+    candidate chain, thresholds and the per-anchor hard-negative ranking
+    on the ROUNDED integer cosine (cosine_e6 DESC, vec_b ASC)."""
+    return f"""WITH {_lsh_cosine_ctes(sf_dir)},
+ce AS (
+  SELECT vec_a, vec_b,
+         CAST(floor(_cos * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
+  FROM j
+)
+SELECT vec_a, vec_b, cosine_e6, 'pos' AS label
+FROM ce WHERE cosine_e6 >= {t_pos_e6}
+UNION ALL
+SELECT vec_a, vec_b, cosine_e6, 'hard_neg' AS label
+FROM (
+  SELECT vec_a, vec_b, cosine_e6,
+         row_number() OVER (
+           PARTITION BY vec_a ORDER BY cosine_e6 DESC, vec_b ASC
+         ) AS _rn
+  FROM ce WHERE cosine_e6 <= {t_neg_e6}
+) WHERE _rn <= {negs_per_anchor}"""
 
 
 def simhash_sql() -> str:
@@ -1228,3 +1264,76 @@ SELECT CASE WHEN v1.doc_id IS NULL THEN 'insert'
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
    OR v1.text IS DISTINCT FROM v2.text"""
+
+
+# ----------------------------------------------------------------- BPE
+
+def _bpe_ctes(n_merges: int = 8) -> tuple[str, str]:
+    """Unrolled-iteration DuckDB twin of operators/bpe.py: returns
+    (cte_chain, last_seq_alias). Each iteration i contributes pair counts
+    p{i} over the 2-space-separated symbol strings, the argmax t{i}
+    (pair_count DESC, pair ASC — the Spark tie-break), and the merged
+    sequences s{i} via the identical ' l  r ' -> ' lr ' literal replace.
+    The merge loop that is M driver-argmax rounds on Spark is M unrolled
+    CTEs here — same data dependence, bit-equal integer counts."""
+    w = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+    parts = [
+        f"""w0 AS (
+  SELECT unnest({w}) AS word FROM documents
+),
+s0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         '  ' || array_to_string(list_append(string_split(word, ''), '_'), '  ') || '  ' AS seq
+  FROM w0
+  WHERE regexp_full_match(word, '[a-z]+') AND len(word) BETWEEN 2 AND 20
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f"""p{i} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 j -> syms[j] || '|' || syms[j + 1])) AS pair
+    FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM {prev})
+  ) GROUP BY pair
+),
+t{i} AS (
+  SELECT pair, pair_count FROM p{i} ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+s{i} AS (
+  -- LEFT JOIN ON TRUE + coalesce: when t{i} is EMPTY (merges exhausted on
+  -- a degenerate corpus) the sequences carry through unchanged, matching
+  -- the Spark loop's early break; a CROSS JOIN would annihilate the vocab
+  SELECT word, freq,
+         coalesce(replace(seq,
+                 ' ' || split_part(pair, '|', 1) || '  ' || split_part(pair, '|', 2) || ' ',
+                 ' ' || replace(pair, '|', '') || ' '), seq) AS seq
+  FROM {prev} LEFT JOIN t{i} ON TRUE
+)""")
+    return ",\n".join(parts), f"s{n_merges}"
+
+
+def bpe_merges_sql(n_merges: int = 8) -> str:
+    ctes, _ = _bpe_ctes(n_merges)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS it, split_part(pair, '|', 1) AS left_sym,"
+        f" split_part(pair, '|', 2) AS right_sym, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {ctes}\n{rows}"
+
+
+def bpe_vocab_sql(n_merges: int = 8) -> str:
+    ctes, last = _bpe_ctes(n_merges)
+    return f"""WITH {ctes}
+SELECT word, freq,
+       CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_pieces,
+       replace(trim(seq), '  ', '|') AS pieces
+FROM {last}"""
+
+
+TRAINING_ORACLES["bpe_merges"] = bpe_merges_sql()
+TRAINING_ORACLES["bpe_vocab_segment"] = bpe_vocab_sql()
+TRAINING_ORACLES["contrastive_pairs"] = contrastive_pairs_sql()

@@ -155,6 +155,18 @@ def q_pagerank_links(spark, sf_dir):
     return pagerank_titles(_views(spark, sf_dir))
 
 
+def q_hits_links(spark, sf_dir):
+    """Fixed-iteration HITS hubs & authorities over the same resolved
+    pagelink graph as pagerank — the second link-analysis member
+    (operators/graph.hits). L1-normalized integer fixed point per
+    half-step (decimal(38,0) subtract-remainder floor vs DuckDB HUGEINT
+    `//`): bit-equal cross-engine at any graph size. Registered
+    post-window; parity-proven by the pytest oracle harness."""
+    from .operators.graph import hits_titles
+
+    return hits_titles(_views(spark, sf_dir))
+
+
 def q_importance_39lang(spark, sf_dir):
     """The flagship O(L^2)->one-shuffle claim at the reference's REAL
     production language count (config/languages.txt:1-40): the full
@@ -498,15 +510,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # geo_earth_wikidata, scored_articles consumes article_full, the
     # importance_pipeline's redirect pruning consumes the redirect x page
     # join) — freeing slots for the training-pipeline queries
-    # dedup_clusters / pagerank_links / contamination (r4) and
-    # training_corpus_keep / pack_documents / media_context (r5). All
+    # dedup_clusters / pagerank_links / contamination (r4),
+    # training_corpus_keep / pack_documents / media_context (r5), and —
+    # final r5 rotation — bpe_merges / contrastive_pairs / spatial_cluster,
+    # displacing extract_langlinks / extract_sitelinks / extract_places
+    # (all three transit the green othercounts / wikidata_places rows). All
     # rotated-out queries stay registered post-window, where the pytest
     # parity harness still hash-checks them against their DuckDB oracles.
     "extract_pagelink": q_extract_pagelink,
-    "extract_langlinks": q_extract_langlinks,
     "extract_geo_tags": q_extract_geo_tags,
-    "extract_sitelinks": q_extract_sitelinks,
-    "extract_places": q_extract_places,
     "pagelink_counts": q_pagelink_counts,
     "othercounts": q_othercounts,
     "wikidata_places": q_wikidata_places,
